@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline at sf0.001.
+``queries()`` / ``oracle_sql()`` pair each implemented operator with a
+DuckDB-checkable oracle at sf0.01 (driver compares row-count + schema +
+order-insensitive value-hash).
+
+The interleaved corpus (BASELINE.json input_hint schema) is derived
+deterministically from the driver's flat ``documents`` parquet via the
+truth contract in ``tesseract_glue_spark/functions/truth.py`` — the
+same rules are emitted as DuckDB SQL for the oracles, so even the OCR
+stage (real PNG render → decode → preprocess → stub recognize) is
+value-checked end-to-end.
 """
 
 from __future__ import annotations
@@ -12,27 +18,88 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _extracted_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tesseract_glue_spark import ExtractionConfig, extract_flat
+    from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+
+    docs = interleaved_documents(spark, sf_dir)
+    pages = pages_for(docs)
+    return extract_flat(docs, pages, ExtractionConfig())
+
+
+def _extract_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tesseract_glue_spark import ExtractionConfig, extract_documents
+    from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+
+    docs = interleaved_documents(spark, sf_dir)
+    pages = pages_for(docs)
+    out = extract_documents(docs, pages, ExtractionConfig())
+    return out.select(
+        "doc_id",
+        F.col("ocr_pages").cast("long").alias("ocr_pages"),
+        F.col("ocr_empty_pages").cast("long").alias("ocr_empty_pages"),
+        "status",
+    )
+
+
+def _explode_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tesseract_glue_spark import explode_spans
+    from tesseract_glue_spark.fixtures import interleaved_documents
+
+    flat = explode_spans(interleaved_documents(spark, sf_dir))
+    return flat.select(
+        "doc_id", F.col("offset").cast("long").alias("offset"), "kind", "text", "media_ref"
+    )
+
+
+def _media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tesseract_glue_spark import explode_spans
+    from tesseract_glue_spark.fixtures import interleaved_documents
+
+    spans = explode_spans(interleaved_documents(spark, sf_dir))
+    return (
+        spans.where((F.col("kind") == "media") & (F.col("media_ref") != ""))
+        .groupBy("media_ref")
+        .agg(F.count("*").alias("n_refs"), F.countDistinct("doc_id").alias("n_docs"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full interleaved-document extraction at sf0.001 —
+    nested output (doc_id, spans, ocr_pages, ocr_empty_pages, status)."""
+    from tesseract_glue_spark import ExtractionConfig, extract_documents
+    from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+
+    docs = interleaved_documents(spark, SF_SMOKE)
+    pages = pages_for(docs)
+    return extract_documents(docs, pages, ExtractionConfig())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_full_flat": _extracted_flat,
+        "extract_doc_metrics": _extract_doc_metrics,
+        "explode_spans": _explode_spans,
+        "media_dedup": _media_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tesseract_glue_spark.functions import truth
+
+    flat = truth.flat_spans_sql("duckdb")
+    return {
+        "extract_full_flat": truth.extracted_flat_sql("duckdb"),
+        "extract_doc_metrics": truth.doc_metrics_sql("duckdb"),
+        "explode_spans": flat,
+        "media_dedup": (
+            f"SELECT media_ref, CAST(COUNT(*) AS BIGINT) AS n_refs, "
+            f"CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            f"FROM ({flat}) WHERE kind = 'media' AND media_ref <> '' GROUP BY media_ref"
+        ),
+    }

@@ -1,0 +1,60 @@
+"""Extraction configuration — the Spark-side analogue of Engine/Reader.
+
+The reference's ``Engine`` stores a tessdata path and builds
+language-bound ``Reader`` objects (``engine.py:44-68``); ``Reader``
+validates assets fail-fast (``reader.py:19-32``). On Spark, the same
+contract becomes a small frozen dataclass captured by UDF closures
+(cheap to pickle; no driver-global capture) plus driver-side preflight
+validation, with the expensive engine construction happening lazily
+*once per Python worker* (see :mod:`tesseract_glue_spark.engine`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+
+from tesseract_glue_spark.languages import validate_language
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    """Everything an OCR worker needs, hashable so it can key the
+    per-process engine cache."""
+
+    backend: str = "stub"            # 'stub' | 'tesseract'
+    lang: str = "eng"
+    tessdata_path: str | None = None  # required for backend='tesseract'
+    preprocess: bool = True           # grayscale→otsu→deskew→segment
+    force_unhealthy: bool = False     # simulate bad engine init (reader2.cpp:19-23)
+    # scale knobs
+    ocr_partitions: int | None = None     # repartition before mapInPandas; None → leave to AQE
+    broadcast_ocr_results: bool | None = None  # None → let Catalyst/AQE decide
+    salt_reassembly: int = 0          # >0 → two-phase salted doc reassembly
+    arrow_batch_rows: int = 256       # cap Arrow batch size for pixel payloads
+
+    def validated(self) -> "ExtractionConfig":
+        """Driver-side preflight: fail fast before submitting a job.
+
+        Mirrors ``Reader.__init__`` (``reader.py:19-32``): unknown
+        language → ``ValueError``; tesseract backend additionally needs
+        both ``{lang}.traineddata`` and ``osd.traineddata`` present
+        (the PSM_AUTO_OSD mode requires the osd model, ``reader2.cpp:24``)
+        → ``FileNotFoundError`` otherwise.
+        """
+        validate_language(self.lang)
+        if self.backend == "tesseract":
+            if not self.tessdata_path or not os.path.isdir(self.tessdata_path):
+                raise FileNotFoundError(
+                    f"tessdata path does not exist: {self.tessdata_path!r}"
+                )
+            for code in (self.lang, "osd"):
+                p = os.path.join(self.tessdata_path, f"{code}.traineddata")
+                if not os.path.exists(p):
+                    raise FileNotFoundError(f"missing traineddata: {p}")
+        elif self.backend != "stub":
+            raise ValueError(f"unknown backend: {self.backend!r}")
+        return self
+
+    def with_(self, **kwargs) -> "ExtractionConfig":
+        return replace(self, **kwargs)

@@ -1,0 +1,307 @@
+"""The extraction pipeline: interleaved docs + page store → OCR'd docs.
+
+This is the Spark-first re-expression of the reference's whole workflow
+(``Engine → Reader → read`` per page, ``reader.py:66-77`` →
+``reader2.cpp:39-51``) over a table of 10^12 interleaved documents:
+
+    scan documents ──explode──► spans ──filter media──► distinct refs
+        ──left join pages──► OCR (mapInPandas, engine cached per worker)
+        ──join back to media spans──► union text spans
+        ──groupBy(doc_id) order-preserving reassembly──► output docs
+
+Scale design notes (the part that must survive 1000 executors / 100 TB):
+
+* **Dedup before OCR**: OCR cost dominates, so each distinct
+  ``media_ref`` is recognized exactly once no matter how many spans
+  reference it (SURVEY §2B "media dedup").
+* **Shuffle inventory**: (1) distinct refs, (2) refs⋈pages join,
+  (3) ocr⋈media-spans join, (4) doc reassembly groupBy. 1 and 3 move
+  only (ref, small-text) rows; the heavy pixel bytes move exactly once
+  (into the OCR stage) and never through a groupBy. The reassembly
+  shuffles only text — never image bytes.
+* **Join strategy**: OCR results are |distinct refs| rows of short
+  text; with AQE on, Spark converts the stitch join to broadcast when
+  it fits; `broadcast_ocr_results=True` forces the hint for clusters
+  where the estimate is off.
+* **Order preservation**: never rely on row order through a shuffle —
+  ordering is reconstructed from the carried ``offset`` field via
+  ``sort_array`` / ``array_sort`` inside the aggregation (SURVEY §7
+  hard-point (a)).
+* **Skew**: many-page documents (heavy tail) are handled by optional
+  two-phase salted reassembly (partial collect per (doc_id, salt),
+  then flatten+sort) — `salt_reassembly=S`. The final sort key is the
+  span offset, so salting composes with order preservation (SURVEY §7
+  hard-point (b)).
+* **Degrade, don't die**: dangling refs / undecodable pages become
+  status values, never task failures (``reader2.cpp:19-23``,
+  ``ImageLoaderStrategies.cpp:14-16``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tesseract_glue_spark import errors
+from tesseract_glue_spark.config import ExtractionConfig
+from tesseract_glue_spark.engine import get_engine
+from tesseract_glue_spark.imaging import kernels
+from tesseract_glue_spark.imaging.png import decode_png
+from tesseract_glue_spark.imaging.render import PAYLOAD_ROWS
+
+OCR_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("ocr_text", T.StringType()),
+        T.StructField("ocr_status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_zones", T.IntegerType()),
+        T.StructField("shear", T.DoubleType()),
+    ]
+)
+
+EXTRACTED_SCHEMA_COLS = ["doc_id", "spans", "ocr_pages", "ocr_empty_pages", "status"]
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """documents → flat span table (doc_id, offset, kind, text, media_ref).
+
+    ``posexplode_outer`` so a document with zero spans (or NULL spans)
+    still yields one row (null kind) and therefore still appears in the
+    output — at 10^12 docs, resume/lineage accounting requires every
+    input doc to survive the pipeline."""
+    return (
+        docs.select("doc_id", F.posexplode_outer("spans").alias("pos", "s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def distinct_media_refs(spans: DataFrame) -> DataFrame:
+    """Media spans → distinct refs (OCR each page once; SURVEY §2B)."""
+    return (
+        spans.where((F.col("kind") == "media") & (F.col("media_ref") != ""))
+        .select("media_ref")
+        .distinct()
+    )
+
+
+def _make_ocr_fn(config: ExtractionConfig):
+    """Build the mapInPandas kernel. The engine is constructed at most
+    once per Python worker process via the module-global cache in
+    :mod:`tesseract_glue_spark.engine` (the Reader-reuse analogue,
+    ``reader2.cpp:15-27``) — NOT per batch, NOT per row."""
+
+    def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        engine = get_engine(config)  # lazy init, cached for the worker's lifetime
+        for pdf in batches:
+            refs, texts, statuses, ws, hs, zones, shears = [], [], [], [], [], [], []
+            for ref, img_bytes in zip(pdf["media_ref"], pdf["image"]):
+                refs.append(ref)
+                if img_bytes is None:
+                    texts.append("")
+                    statuses.append(errors.STATUS_DANGLING)
+                    ws.append(0)
+                    hs.append(0)
+                    zones.append(0)
+                    shears.append(0.0)
+                    continue
+                try:
+                    gray = kernels.to_grayscale(decode_png(bytes(img_bytes)))
+                    h, w = gray.shape
+                    n_zones, shear = 0, 0.0
+                    if config.preprocess:
+                        body = gray[PAYLOAD_ROWS:]
+                        ink = kernels.otsu_binarize(body)
+                        if ink.any():
+                            shear = kernels.estimate_shear(ink)
+                            if abs(shear) > 1e-3:
+                                body = kernels.deskew(body, shear)
+                                ink = kernels.otsu_binarize(body)
+                            n_zones = len(kernels.xy_cut(ink))
+                    text = engine.recognize(gray)
+                    status = errors.STATUS_EMPTY if text == "" else errors.STATUS_OK
+                    if not engine.good:
+                        status = errors.STATUS_ENGINE_BAD
+                    texts.append(text)
+                    statuses.append(status)
+                    ws.append(w)
+                    hs.append(h)
+                    zones.append(n_zones)
+                    shears.append(float(shear))
+                except errors.ExtractionError:
+                    texts.append("")
+                    statuses.append(errors.STATUS_DECODE_ERROR)
+                    ws.append(0)
+                    hs.append(0)
+                    zones.append(0)
+                    shears.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "ocr_text": texts,
+                    "ocr_status": statuses,
+                    "width": ws,
+                    "height": hs,
+                    "n_zones": zones,
+                    "shear": shears,
+                }
+            )
+
+    return ocr_batches
+
+
+def ocr_media(spans: DataFrame, pages: DataFrame, config: ExtractionConfig) -> DataFrame:
+    """distinct media refs ⋈ pages → per-ref OCR results.
+
+    Left join keeps dangling refs (null image → STATUS_DANGLING inside
+    the kernel) so error accounting needs no second pass."""
+    from tesseract_glue_spark.sources.shipping import ensure_shipped
+
+    ensure_shipped(spans.sparkSession)
+    refs = distinct_media_refs(spans)
+    resolved = refs.join(pages.select("media_ref", "image"), "media_ref", "left")
+    if config.ocr_partitions:
+        # shape Arrow batches for the UDF: pixel payloads are the heavy
+        # column, so bound rows-per-partition explicitly at scale
+        resolved = resolved.repartition(config.ocr_partitions, "media_ref")
+    return resolved.mapInPandas(_make_ocr_fn(config), schema=OCR_RESULT_SCHEMA)
+
+
+def stitch(spans: DataFrame, ocr: DataFrame, config: ExtractionConfig) -> DataFrame:
+    """Attach OCR text to media spans; pass text spans through."""
+    media = spans.where(F.col("kind") == "media")
+    # null-kind rows are empty-doc placeholders from posexplode_outer —
+    # keep them so the doc survives reassembly, drop them from the array
+    text_spans = spans.where(
+        (F.col("kind") != "media") | F.col("kind").isNull()
+    ).withColumn("ocr_status", F.lit(None).cast("string"))
+    ocr_small = ocr.select("media_ref", "ocr_text", "ocr_status")
+    if config.broadcast_ocr_results:
+        ocr_small = F.broadcast(ocr_small)
+    stitched_media = media.join(ocr_small, "media_ref", "left").select(
+        "doc_id",
+        "offset",
+        "kind",
+        F.coalesce("ocr_text", F.lit("")).alias("text"),
+        "media_ref",
+        F.coalesce("ocr_status", F.lit(errors.STATUS_DANGLING)).alias("ocr_status"),
+    )
+    return text_spans.select(
+        "doc_id", "offset", "kind", "text", "media_ref", "ocr_status"
+    ).unionByName(stitched_media)
+
+
+_SPAN_STRUCT_EXPR = (
+    "transform(filter({src}, s -> s.kind IS NOT NULL), "
+    "s -> struct(s.kind AS kind, s.text AS text, s.media_ref AS media_ref, s.offset AS offset))"
+)
+
+def _metric_aggs() -> list:
+    return [
+        F.sum(
+            F.when(
+                (F.col("kind") == "media")
+                & F.col("ocr_status").isin(errors.STATUS_OK, errors.STATUS_EMPTY, errors.STATUS_ENGINE_BAD),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("ocr_pages"),
+        F.sum(
+            F.when(
+                (F.col("kind") == "media")
+                & (F.col("text") == "")
+                & F.col("ocr_status").isin(errors.STATUS_EMPTY, errors.STATUS_ENGINE_BAD),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("ocr_empty_pages"),
+        F.max(
+            F.when(
+                F.col("ocr_status").isin(errors.STATUS_DANGLING, errors.STATUS_DECODE_ERROR)
+                & (F.col("kind") == "media"),
+                1,
+            ).otherwise(0)
+        ).alias("_any_err"),
+    ]
+
+
+def reassemble(stitched: DataFrame, config: ExtractionConfig) -> DataFrame:
+    """Order-preserving reconstruction of the span array per document.
+
+    Never relies on shuffle order: the sort key is the carried
+    ``offset``, applied *inside* the aggregation via ``sort_array`` on
+    offset-first structs. With ``salt_reassembly=S`` the collect runs in
+    two phases so a single hot doc_id cannot overload one reducer:
+    phase 1 groups on (doc_id, offset % S), phase 2 flattens and sorts.
+    """
+    ordered_struct = F.struct("offset", "kind", "text", "media_ref")
+    if config.salt_reassembly and config.salt_reassembly > 1:
+        s = int(config.salt_reassembly)
+        partial = (
+            stitched.withColumn("_salt", F.pmod(F.col("offset"), F.lit(s)))
+            .groupBy("doc_id", "_salt")
+            .agg(
+                F.sort_array(F.collect_list(ordered_struct)).alias("_part"),
+                *_metric_aggs(),
+            )
+        )
+        doc = partial.groupBy("doc_id").agg(
+            F.array_sort(F.flatten(F.collect_list("_part"))).alias("_sorted"),
+            F.sum("ocr_pages").cast("int").alias("ocr_pages"),
+            F.sum("ocr_empty_pages").cast("int").alias("ocr_empty_pages"),
+            F.max("_any_err").alias("_any_err"),
+        )
+    else:
+        doc = stitched.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(ordered_struct)).alias("_sorted"),
+            *_metric_aggs(),
+        )
+    return doc.select(
+        "doc_id",
+        F.expr(_SPAN_STRUCT_EXPR.format(src="_sorted")).alias("spans"),
+        "ocr_pages",
+        "ocr_empty_pages",
+        F.when(F.col("_any_err") > 0, "partial").otherwise("ok").alias("status"),
+    )
+
+
+def extract_documents(
+    docs: DataFrame, pages: DataFrame, config: ExtractionConfig | None = None
+) -> DataFrame:
+    """Full pipeline: documents + page store → OCR'd documents.
+
+    Output schema: input schema with media-span text filled in, plus
+    per-doc metrics (FIXTURES.md §3): ocr_pages, ocr_empty_pages, status.
+    """
+    cfg = (config or ExtractionConfig()).validated()
+    spans = explode_spans(docs)
+    ocr = ocr_media(spans, pages, cfg)
+    return reassemble(stitch(spans, ocr, cfg), cfg)
+
+
+def extract_flat(
+    docs: DataFrame, pages: DataFrame, config: ExtractionConfig | None = None
+) -> DataFrame:
+    """Flattened extraction output (one row per span) — the
+    oracle-comparable projection of :func:`extract_documents`."""
+    out = extract_documents(docs, pages, config)
+    return out.select("doc_id", F.posexplode("spans").alias("_p", "s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )

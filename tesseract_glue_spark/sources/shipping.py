@@ -1,0 +1,59 @@
+"""Ship the package to executor Python workers (--py-files analogue).
+
+The north_rule requires spark-submit --py-files packaging on a real
+cluster. For driver-embedded use (tests, the round driver, notebooks)
+we self-ship: zip the package once per session and ``addPyFile`` it, so
+UDF closures that reference package modules unpickle on workers no
+matter the driver's cwd. Mirrors the reference's asset-staging
+discipline (atomic tmp→rename, ``languages.py:206-207``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_ATTR = "_tesseract_glue_spark_shipped"
+
+
+def build_pyfiles_zip(dest_dir: str | None = None) -> str:
+    """Zip the installed package (py files only) for --py-files /
+    addPyFile. Deterministic content; atomic replace."""
+    import tesseract_glue_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(tesseract_glue_spark.__file__))
+    root = os.path.dirname(pkg_dir)
+    dest_dir = dest_dir or tempfile.gettempdir()
+    dest = os.path.join(dest_dir, "tesseract_glue_spark_pyfiles.zip")
+    fd, tmp = tempfile.mkstemp(dir=dest_dir, suffix=".zip.tmp")
+    os.close(fd)
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+                for fn in sorted(filenames):
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+        os.replace(tmp, dest)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return dest
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Idempotently add the package zip to this session's worker path.
+
+    No-op if the package is already importable via a cluster-wide
+    install or an explicit ``spark-submit --py-files``.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, _SHIPPED_ATTR, False):
+        return
+    sc.addPyFile(build_pyfiles_zip())
+    setattr(sc, _SHIPPED_ATTR, True)

@@ -1,0 +1,217 @@
+"""End-to-end extraction pipeline tests.
+
+The core assertion is FIXTURES.md §3 / BASELINE.json's per-row
+invariant: **span-sequence equality** — for every document, the output
+sequence ``[(kind, text, media_ref, offset)]`` equals the oracle built
+by applying the reference per-page semantics (``reader.py:66-77`` →
+``reader2.cpp:39-51``) to each media span independently, preserving
+input order.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesseract_glue_spark.config import ExtractionConfig
+from tesseract_glue_spark.fixtures import (
+    interleaved_documents,
+    pages_for,
+    py_expected_extracted,
+)
+from tesseract_glue_spark.operators import extract
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return interleaved_documents(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def pages(spark, docs):
+    return pages_for(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def flat_docs(spark):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+
+
+def spans_key(rows):
+    """document → [(kind, text, media_ref, offset)] with ordinal check."""
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in rows]
+
+
+class TestFixtures:
+    def test_input_schema_matches_hint(self, docs):
+        # BASELINE.json input_hint schema
+        assert [f.name for f in docs.schema.fields] == ["doc_id", "spans"]
+        span_fields = docs.schema["spans"].dataType.elementType.fields
+        assert [(f.name, f.dataType.simpleString()) for f in span_fields] == [
+            ("kind", "string"),
+            ("text", "string"),
+            ("media_ref", "string"),
+            ("offset", "int"),
+        ]
+
+    def test_spans_match_python_mirror(self, docs, flat_docs):
+        for row in docs.limit(30).collect():
+            expected = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in __import__(
+                    "tesseract_glue_spark.fixtures", fromlist=["py_spans"]
+                ).py_spans(row["doc_id"], flat_docs[row["doc_id"]])
+            ]
+            assert spans_key(row["spans"]) == expected
+
+    def test_heavy_tail_docs_exist(self, docs):
+        # doc_id % 97 == 0 → 24 media spans (49 total) — the skew fixture
+        sizes = docs.select(F.size("spans").alias("n")).groupBy("n").count()
+        assert {r["n"] for r in sizes.collect()} >= {3, 5, 7, 49}
+
+    def test_pages_unique_and_no_dangling(self, pages):
+        from tesseract_glue_spark.imaging.render import is_dangling, ref_to_num
+
+        rows = pages.collect()
+        refs = [r["media_ref"] for r in rows]
+        assert len(refs) == len(set(refs))
+        assert not any(is_dangling(ref_to_num(r)) for r in refs)
+        assert all(r["width"] > 0 and r["height"] > 0 for r in rows)
+
+
+class TestExtraction:
+    def test_span_sequence_equality(self, docs, pages, flat_docs):
+        """THE invariant: every output row span-sequence-equal to oracle."""
+        out = extract.extract_documents(docs, pages, ExtractionConfig())
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert set(got) == set(flat_docs)
+        for doc_id, text in flat_docs.items():
+            expected = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in py_expected_extracted(doc_id, text)
+            ]
+            assert spans_key(got[doc_id]["spans"]) == expected, f"doc {doc_id}"
+
+    def test_metrics_and_status(self, docs, pages, flat_docs):
+        from tesseract_glue_spark.imaging.render import (
+            is_blank,
+            is_dangling,
+            ref_to_num,
+        )
+        from tesseract_glue_spark.fixtures import py_spans
+
+        out = extract.extract_documents(docs, pages, ExtractionConfig())
+        got = {r["doc_id"]: r for r in out.collect()}
+        for doc_id, text in flat_docs.items():
+            media = [s for s in py_spans(doc_id, text) if s["kind"] == "media"]
+            ns = [ref_to_num(s["media_ref"]) for s in media]
+            resolvable = [n for n in ns if not is_dangling(n)]
+            r = got[doc_id]
+            assert r["ocr_pages"] == len(resolvable)
+            assert r["ocr_empty_pages"] == sum(1 for n in resolvable if is_blank(n))
+            assert r["status"] == (
+                "partial" if any(is_dangling(n) for n in ns) else "ok"
+            )
+
+    def test_salted_reassembly_identical(self, docs, pages):
+        """Salting must not change results — only the shuffle shape
+        (SURVEY §7 hard-point (b))."""
+        base = extract.extract_documents(docs, pages, ExtractionConfig())
+        salted = extract.extract_documents(
+            docs, pages, ExtractionConfig(salt_reassembly=4)
+        )
+        a = {r["doc_id"]: spans_key(r["spans"]) for r in base.collect()}
+        b = {r["doc_id"]: spans_key(r["spans"]) for r in salted.collect()}
+        assert a == b
+
+    def test_unhealthy_engine_degrades_not_dies(self, docs, pages):
+        # reader2.cpp:19-23: bad engine → empty text, job completes
+        out = extract.extract_documents(
+            docs, pages, ExtractionConfig(force_unhealthy=True)
+        )
+        row = out.orderBy("doc_id").first()
+        media_texts = [s["text"] for s in row["spans"] if s["kind"] == "media"]
+        assert all(t == "" for t in media_texts)
+        assert out.count() > 0
+
+    def test_broadcast_stitch_identical(self, docs, pages):
+        out = extract.extract_documents(
+            docs, pages, ExtractionConfig(broadcast_ocr_results=True)
+        )
+        base = extract.extract_documents(docs, pages, ExtractionConfig())
+        assert (
+            out.select("doc_id", "status").orderBy("doc_id").collect()
+            == base.select("doc_id", "status").orderBy("doc_id").collect()
+        )
+
+    def test_flat_view_row_count(self, docs, pages):
+        flat = extract.extract_flat(docs, pages, ExtractionConfig())
+        n_spans = docs.select(F.sum(F.size("spans"))).first()[0]
+        assert flat.count() == n_spans
+
+
+class TestOracleParitySql:
+    """The Spark-SQL and DuckDB-SQL emissions of the truth contract must
+    agree with the physical pipeline — this is the same check the
+    driver's CORRECTNESS gate runs, executed locally."""
+
+    def test_extracted_flat_sql_matches_pipeline(self, spark, docs, pages):
+        import duckdb
+
+        from tesseract_glue_spark.functions import truth
+
+        got = (
+            extract.extract_flat(docs, pages, ExtractionConfig())
+            .orderBy("doc_id", "offset")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = con.sql(
+            truth.extracted_flat_sql("duckdb") + ' ORDER BY doc_id, "offset"'
+        ).fetchall()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_doc_metrics_sql_matches_pipeline(self, spark, docs, pages):
+        import duckdb
+
+        from tesseract_glue_spark.functions import truth
+
+        got = (
+            extract.extract_documents(docs, pages, ExtractionConfig())
+            .select(
+                "doc_id",
+                F.col("ocr_pages").cast("long").alias("ocr_pages"),
+                F.col("ocr_empty_pages").cast("long").alias("ocr_empty_pages"),
+                "status",
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = con.sql(truth.doc_metrics_sql("duckdb") + " ORDER BY doc_id").fetchall()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+class TestEdgeDocs:
+    def test_empty_and_null_spans_docs_survive(self, spark, pages):
+        """A doc with zero spans (or NULL spans) must still appear in the
+        output with an empty span array — resume accounting depends on
+        every input doc surviving the pipeline."""
+        from tesseract_glue_spark.fixtures import DOCUMENTS_SCHEMA
+
+        docs = spark.createDataFrame([(900001, []), (900002, None)], schema=DOCUMENTS_SCHEMA)
+        out = extract.extract_documents(docs, pages, ExtractionConfig())
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {900001, 900002}
+        for r in rows.values():
+            assert r["spans"] == []
+            assert r["ocr_pages"] == 0 and r["ocr_empty_pages"] == 0
+            assert r["status"] == "ok"

@@ -1,0 +1,244 @@
+"""Unit tests for the PNG codec, renderer, and preprocessing kernels.
+
+Ports the reference's structural assertions: dimension goldens
+(`tests/test_basic.cpp:60-84`), blank→empty (`tests/test_basic.cpp:17-22`),
+unreadable input → typed error (`tests/test_load_image.py:10-14`),
+null image dims = 0 (`tests/test_basic.cpp:45-58`).
+"""
+
+import numpy as np
+import pytest
+
+from tesseract_glue_spark.errors import ExtractionError, ImageDecodeError
+from tesseract_glue_spark.imaging.kernels import (
+    cc_segment,
+    deskew,
+    estimate_shear,
+    otsu_binarize,
+    otsu_threshold,
+    to_grayscale,
+    xy_cut,
+)
+from tesseract_glue_spark.imaging.png import decode_png, encode_png, image_dims
+from tesseract_glue_spark.imaging.render import (
+    MEDIA_POOL,
+    is_blank,
+    is_dangling,
+    num_to_ref,
+    page_dims,
+    raw_payload_text,
+    ref_to_num,
+    render_page,
+    truth_text,
+)
+
+
+class TestPng:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    def test_dims_without_decode(self):
+        img = np.zeros((30, 40), dtype=np.uint8)
+        assert image_dims(encode_png(img)) == (40, 30)
+
+    def test_null_image_dims_zero(self):
+        # Image.cpp:15-27 / tests/test_basic.cpp:45-58: null image → 0x0
+        assert image_dims(b"") == (0, 0)
+        assert image_dims(b"not a png at all") == (0, 0)
+
+    def test_unreadable_raises_typed_error(self):
+        # tests/test_load_image.py:10-14: bad file → RuntimeError subclass
+        with pytest.raises(ImageDecodeError):
+            decode_png(b"junk")
+        assert issubclass(ImageDecodeError, RuntimeError)
+
+    def test_truncated_png(self):
+        img = np.zeros((10, 10), dtype=np.uint8)
+        data = encode_png(img)
+        with pytest.raises(ImageDecodeError):
+            decode_png(data[: len(data) // 2])
+
+
+class TestRenderContract:
+    def test_ref_roundtrip(self):
+        assert ref_to_num(num_to_ref(42)) == 42
+        with pytest.raises(ValueError):
+            ref_to_num("page_0001")
+
+    def test_truth_classes(self):
+        assert truth_text(0) == ""          # 0 % 7 == 0 → blank
+        assert truth_text(7) == ""
+        assert is_dangling(13) and not is_blank(13)
+        assert not is_dangling(91)          # 91 = 7*13 → blank wins
+        t = truth_text(8)
+        assert t.startswith("page 8 glyph ") and t.endswith(" lorem ipsum dolor")
+
+    def test_whitespace_payload_normalizes(self):
+        # half the blanks embed whitespace-only payload (reader2.cpp:49-51)
+        assert raw_payload_text(7).isspace()
+        assert raw_payload_text(14) == ""
+        assert truth_text(7) == "" and truth_text(14) == ""
+
+    def test_render_dims_match_header(self):
+        for n in (1, 3, 5, 8, 15, 21):
+            png, w, h, truth = render_page(n)
+            assert image_dims(png) == (w, h) == page_dims(n)
+            arr = decode_png(png)
+            assert arr.shape == (h, w)
+
+    def test_blank_page_is_white_body(self):
+        png, w, h, truth = render_page(14)
+        arr = decode_png(png)
+        assert truth == ""
+        assert (arr[8:] == 255).all()  # body below payload rows untouched
+
+    def test_determinism(self):
+        assert render_page(123) == render_page(123)
+
+
+class TestKernels:
+    def test_grayscale(self):
+        rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+        rgb[..., 0] = 255
+        g = to_grayscale(rgb)
+        assert g.shape == (4, 4) and 70 <= int(g[0, 0]) <= 80
+        gray = np.full((3, 3), 9, dtype=np.uint8)
+        assert to_grayscale(gray) is gray
+
+    def test_otsu_bimodal(self):
+        img = np.full((20, 20), 230, dtype=np.uint8)
+        img[5:15, 5:15] = 20
+        t = otsu_threshold(img)
+        assert 20 <= t < 230
+        ink = otsu_binarize(img)
+        assert ink[10, 10] and not ink[0, 0]
+
+    def test_otsu_blank_no_ink(self):
+        assert not otsu_binarize(np.full((10, 10), 255, dtype=np.uint8)).any()
+
+    def test_shear_estimate_and_deskew(self):
+        # horizontal text lines, then shear, then recover
+        img = np.full((120, 200), 255, dtype=np.uint8)
+        for y0 in (20, 50, 80):
+            img[y0 : y0 + 4, 10:190] = 0
+        true_shear = 0.03
+        sheared = np.full_like(img, 255)
+        for x in range(200):
+            dy = int(round(true_shear * x))
+            if dy < 120:
+                sheared[dy:, x] = img[: 120 - dy, x]
+        est = estimate_shear(otsu_binarize(sheared))
+        assert abs(est - true_shear) < 0.01
+        fixed = deskew(sheared, est)
+        rows_with_ink = otsu_binarize(fixed).any(axis=1).sum()
+        assert rows_with_ink <= 16  # re-collapsed to ~3 tight lines
+
+    def test_cc_segment_two_blobs(self):
+        img = np.zeros((30, 30), dtype=bool)
+        img[2:8, 2:8] = True
+        img[20:26, 20:28] = True
+        boxes = cc_segment(img)
+        assert boxes == [(2, 7, 2, 7), (20, 25, 20, 27)]
+
+    def test_cc_segment_u_shape_merges(self):
+        img = np.zeros((10, 10), dtype=bool)
+        img[0:8, 1] = True
+        img[0:8, 5] = True
+        img[7, 1:6] = True
+        assert len(cc_segment(img)) == 1
+
+    def test_xy_cut_splits_columns(self):
+        img = np.zeros((40, 60), dtype=bool)
+        img[5:35, 5:20] = True
+        img[5:35, 40:55] = True
+        zones = xy_cut(img, min_gap=6)
+        assert len(zones) == 2
+        assert zones[0][2] == 5 and zones[1][2] == 40
+
+    def test_xy_cut_blank(self):
+        assert xy_cut(np.zeros((10, 10), dtype=bool)) == []
+
+
+class TestEngine:
+    def test_stub_recognizes_rendered_pages(self):
+        from tesseract_glue_spark.config import ExtractionConfig
+        from tesseract_glue_spark.engine import get_engine
+
+        eng = get_engine(ExtractionConfig())
+        for n in (1, 5, 8, 14, 7, 15, 33):
+            png, _, _, truth = render_page(n)
+            assert eng.recognize(decode_png(png)) == truth
+
+    def test_unhealthy_engine_degrades(self):
+        # reader2.cpp:19-23,40-42 / tests/test_basic.cpp:31-42
+        from tesseract_glue_spark.config import ExtractionConfig
+        from tesseract_glue_spark.engine import get_engine
+
+        eng = get_engine(ExtractionConfig(force_unhealthy=True))
+        assert eng.good is False
+        png, *_ = render_page(8)
+        assert eng.recognize(decode_png(png)) == ""
+
+    def test_non_fixture_image_raises(self):
+        from tesseract_glue_spark.config import ExtractionConfig
+        from tesseract_glue_spark.engine import get_engine
+
+        eng = get_engine(ExtractionConfig())
+        with pytest.raises(ExtractionError):
+            eng.recognize(np.full((10, 10), 255, dtype=np.uint8))
+
+    def test_engine_cache_reuse(self):
+        from tesseract_glue_spark.config import ExtractionConfig
+        from tesseract_glue_spark.engine import get_engine
+
+        cfg = ExtractionConfig()
+        assert get_engine(cfg) is get_engine(ExtractionConfig())
+
+    def test_normalize_text(self):
+        from tesseract_glue_spark.engine import normalize_text
+
+        assert normalize_text("  \t\n ") == ""
+        assert normalize_text(None) == ""
+        assert normalize_text("x ") == "x "
+
+    def test_config_validation(self):
+        # reader.py:19-32 error matrix, driver-side
+        from tesseract_glue_spark.config import ExtractionConfig
+
+        with pytest.raises(ValueError):
+            ExtractionConfig(lang="nope").validated()
+        with pytest.raises(FileNotFoundError):
+            ExtractionConfig(backend="tesseract", lang="eng", tessdata_path="/nope").validated()
+        with pytest.raises(ValueError):
+            ExtractionConfig(backend="wat").validated()
+        assert ExtractionConfig().validated().lang == "eng"
+
+    def test_config_tessdata_missing_osd(self, tmp_path):
+        # tests/test_integration.py:41-58: osd required even if lang present
+        from tesseract_glue_spark.config import ExtractionConfig
+
+        (tmp_path / "eng.traineddata").write_bytes(b"x")
+        with pytest.raises(FileNotFoundError, match="osd"):
+            ExtractionConfig(backend="tesseract", tessdata_path=str(tmp_path)).validated()
+
+    def test_language_codes(self):
+        from tesseract_glue_spark.languages import LANGUAGE_CODES
+
+        assert LANGUAGE_CODES["eng"] == "English"
+        assert "osd" in LANGUAGE_CODES and "equ" in LANGUAGE_CODES
+        assert len(LANGUAGE_CODES) == 117
+
+    def test_stage_asset_atomic(self, tmp_path):
+        import hashlib
+
+        from tesseract_glue_spark.languages import is_file_valid, stage_asset
+
+        dest = str(tmp_path / "a.traineddata")
+        data = b"hello-model"
+        md5 = hashlib.md5(data).hexdigest()
+        assert stage_asset(data, dest, md5) == dest
+        assert is_file_valid(dest, md5)
+        with pytest.raises(ValueError):
+            stage_asset(b"other", str(tmp_path / "b"), md5)
