@@ -80,20 +80,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return extract_documents(docs, pages, ExtractionConfig())
 
 
+def _sql_ops() -> dict[str, tuple]:
+    """All dual-dialect SQL operators: name -> (builder, tables)."""
+    from tesseract_glue_spark.operators.dedup import DEDUP_OPS
+    from tesseract_glue_spark.operators.relational import RELATIONAL_OPS
+    from tesseract_glue_spark.operators.similarity import SIMILARITY_OPS
+    from tesseract_glue_spark.operators.text import TEXT_OPS
+
+    ops: dict[str, tuple] = {}
+    for name, b in TEXT_OPS.items():
+        ops[name] = (b, ("documents",))
+    for name, b in DEDUP_OPS.items():
+        ops[name] = (b, ("documents",))
+    for name, b in SIMILARITY_OPS.items():
+        ops[name] = (b, ("embeddings",))
+    for name, (b, tabs) in RELATIONAL_OPS.items():
+        ops[name] = (b, tabs)
+    return ops
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from tesseract_glue_spark.operators.registry import spark_runner
+
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_full_flat": _extracted_flat,
         "extract_doc_metrics": _extract_doc_metrics,
         "explode_spans": _explode_spans,
         "media_dedup": _media_dedup,
     }
+    for name, (builder, tables) in _sql_ops().items():
+        q[name] = spark_runner(builder, tables=tables)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
     from tesseract_glue_spark.functions import truth
+    from tesseract_glue_spark.operators.registry import oracle
 
     flat = truth.flat_spans_sql("duckdb")
-    return {
+    o = {
         "extract_full_flat": truth.extracted_flat_sql("duckdb"),
         "extract_doc_metrics": truth.doc_metrics_sql("duckdb"),
         "explode_spans": flat,
@@ -103,3 +128,6 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({flat}) WHERE kind = 'media' AND media_ref <> '' GROUP BY media_ref"
         ),
     }
+    for name, (builder, _tables) in _sql_ops().items():
+        o[name] = oracle(builder)
+    return o

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Page images are materialized to parquet once (setup, untimed) so the
+timed extraction measures the pipeline — scan → explode → dedup → OCR →
+stitch → reassemble — not fixture rendering.
+
+Scaling evidence (north_rule: efficiency ≥ 0.8 from N→4N executors) is
+produced by scaling_bench.py, which runs this file at two parallelism
+levels in fresh JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tesseract_glue_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tesseract_glue_spark import ExtractionConfig, extract_documents
+    from tesseract_glue_spark.fixtures import interleaved_documents
+
+    # ---- setup (untimed): materialize corpus + page store to parquet
+    # (benchmarks scan tables like production scans Iceberg — the span
+    # derivation expression must not be recomputed inside every plan) ----
+    from tesseract_glue_spark.fixtures import materialize_corpus
+
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"tg_corpus_{sf}")
+    docs, pages = materialize_corpus(
+        spark, interleaved_documents(spark, sf_dir), corpus_dir, partitions=cpus
+    )
+    n_docs = docs.count()  # also warms the session
+    n_pages = pages.count()
+
+    cfg = ExtractionConfig()
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {"n_docs": n_docs, "n_pages": n_pages, "cpus": cpus}
+
+    def timed(name: str, fn, runs: int = 1) -> None:
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
+
+    # warmup (untimed): spin up Python UDF workers + ship the package zip
+    # once, so timed numbers measure steady-state pipeline throughput
+    # (cluster workers are long-lived; cold-start is a per-cluster cost,
+    # not a per-job cost)
+    extract_documents(docs, pages, cfg).count()
+
+    # q1: flagship — full extraction end-to-end (best of 2)
+    timed("extract_full", lambda: extract_documents(docs, pages, cfg).count(), runs=2)
+    extras["extract_docs_per_sec"] = round(n_docs / queries["extract_full"], 2)
+
+    # q2: extraction with salted reassembly (skew-hardened path)
+    timed(
+        "extract_salted",
+        lambda: extract_documents(docs, pages, cfg.with_(salt_reassembly=8)).count(),
+    )
+
+    # q3+: registered operator benchmarks (text/dedup/similarity) as they land
+    try:
+        from tesseract_glue_spark.operators.bench_registry import register
+
+        for name, fn in register(spark, sf_dir).items():
+            timed(name, fn)
+    except ImportError:
+        pass
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

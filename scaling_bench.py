@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Throughput-scaling evidence: same job + same input at two parallelism
+levels (the sandbox stand-in for N vs 4N executors per BASELINE.md).
+
+Runs the full extraction pipeline over a scaling corpus in which every
+media ref is distinct (OCR work ∝ docs, not capped by dedup at the
+fixture pool size), in a fresh JVM per parallelism level, and reports
+
+    efficiency = (docs/sec @ 4N) / (4 × docs/sec @ N)
+
+Usage:  python scaling_bench.py [--n 8] [--docs 20000] [--pages 4]
+Writes: prints one JSON line; use --md to append a section to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+WORKER = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from bench import build_spark
+spark = build_spark({cpus})
+spark.sparkContext.setLogLevel("ERROR")
+from tesseract_glue_spark import ExtractionConfig, extract_documents
+docs = spark.read.parquet({corpus_dir!r} + "/documents_spans")
+pages = spark.read.parquet({corpus_dir!r} + "/pages")
+cfg = ExtractionConfig()
+extract_documents(docs, pages, cfg).count()          # warmup (workers up)
+best = None
+for _ in range(2):
+    t0 = time.perf_counter()
+    n = extract_documents(docs, pages, cfg).count()
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_sec": round(best, 3),
+      "docs": n, "docs_per_sec": round(n / best, 1)}}))
+spark.stop()
+"""
+
+PREP = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from bench import build_spark
+spark = build_spark(32)
+spark.sparkContext.setLogLevel("ERROR")
+from tesseract_glue_spark.fixtures import scaling_corpus, materialize_corpus
+materialize_corpus(spark, scaling_corpus(spark, {n_docs}, {pages_per_doc}), {corpus_dir!r}, partitions=32)
+spark.stop()
+"""
+
+
+def run_worker(code: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8, help="small parallelism (4N is derived)")
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--pages", type=int, default=4)
+    ap.add_argument("--md", action="store_true", help="append results to BENCH.md")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"tg_scaling_{args.docs}x{args.pages}"
+    )
+    if not os.path.exists(os.path.join(corpus_dir, "pages", "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c", PREP.format(
+                repo=repo, n_docs=args.docs, pages_per_doc=args.pages, corpus_dir=corpus_dir
+            )],
+            check=True, timeout=3000, capture_output=True, text=True,
+        )
+
+    results = {}
+    for cpus in (args.n, args.n * 4):
+        results[cpus] = run_worker(WORKER.format(repo=repo, cpus=cpus, corpus_dir=corpus_dir))
+
+    small, big = results[args.n], results[args.n * 4]
+    eff = round(big["docs_per_sec"] / (4.0 * small["docs_per_sec"]), 3)
+    out = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": eff,
+        "unit": "ratio",
+        "n_cpus": args.n,
+        "n4_cpus": args.n * 4,
+        "docs": args.docs,
+        "pages_per_doc": args.pages,
+        "throughput_at_n": small["docs_per_sec"],
+        "throughput_at_4n": big["docs_per_sec"],
+        "wall_at_n": small["wall_sec"],
+        "wall_at_4n": big["wall_sec"],
+    }
+    print(json.dumps(out))
+    if args.md:
+        with open(os.path.join(repo, "BENCH.md"), "a") as fh:
+            fh.write(
+                f"\n| local[{args.n}] → local[{args.n*4}] | {args.docs} docs × "
+                f"{args.pages} pages | {small['docs_per_sec']} docs/s @ N | "
+                f"{big['docs_per_sec']} docs/s @ 4N | **{eff}** |\n"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,46 @@ def pages_for(docs: DataFrame) -> DataFrame:
     return refs.mapInPandas(_render_batches, schema=PAGES_SCHEMA)
 
 
+def materialize_corpus(
+    spark: SparkSession, docs: DataFrame, out_dir: str, partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Write (docs, pages) to parquet once and read back — benchmarks and
+    scaling runs must scan a *materialized* table (the Iceberg stand-in),
+    not recompute the span-derivation expression inside every plan
+    branch. Returns (docs_df, pages_df) backed by parquet."""
+    import os
+
+    docs_path = os.path.join(out_dir, "documents_spans")
+    pages_path = os.path.join(out_dir, "pages")
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        d = docs.repartition(partitions) if partitions else docs
+        d.write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        pages_for(spark.read.parquet(docs_path)).write.mode("overwrite").parquet(pages_path)
+    return spark.read.parquet(docs_path), spark.read.parquet(pages_path)
+
+
+def scaling_corpus(spark: SparkSession, n_docs: int, pages_per_doc: int = 4) -> DataFrame:
+    """Synthetic corpus for throughput-scaling evidence: every media ref
+    is distinct (media n = doc_id * pages_per_doc + j), so OCR work
+    grows linearly with n_docs instead of being capped by
+    dedup-before-OCR at the MEDIA_POOL size. Deterministic; text spans
+    are short fixed strings. Used only by scaling_bench.py — correctness
+    queries use :func:`interleaved_documents` (oracle-checkable)."""
+    docs = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    p = int(pages_per_doc)
+    spans = F.expr(
+        f"""
+        transform(sequence(0, 2 * {p}), o -> struct(
+            CASE WHEN o % 2 = 0 THEN 'text' ELSE 'media' END AS kind,
+            CASE WHEN o % 2 = 0 THEN concat('chunk ', CAST(doc_id AS STRING), ' ', CAST(o AS STRING)) ELSE '' END AS text,
+            CASE WHEN o % 2 = 1 THEN format_string('img_%08d', doc_id * {p} + (o DIV 2)) ELSE '' END AS media_ref,
+            CAST(o AS INT) AS offset))
+        """.strip()
+    )
+    return docs.select("doc_id", spans.alias("spans"))
+
+
 # ---------------------------------------------------------------------------
 # Pure-Python mirrors (unit tests without Spark)
 # ---------------------------------------------------------------------------

@@ -55,45 +55,51 @@ def otsu_binarize(gray: np.ndarray) -> np.ndarray:
     return gray <= t
 
 
-def estimate_shear(ink: np.ndarray, max_shear: float = 0.05, steps: int = 21) -> float:
+def estimate_shear(ink: np.ndarray, max_shear: float = 0.05, steps: int = 7) -> float:
     """Estimate vertical shear (small-angle skew model, dy = shear * x).
 
     Projection-profile method: the shear that, once removed, maximizes
     the variance of row-ink counts (text lines align → peaky profile).
-    This is the classic deskew heuristic; the renderer's skewed class
-    uses the same shear model, so estimate→correct is exact up to
-    rounding.
+    Coarse-to-fine search (two levels) — ~12 profile evaluations instead
+    of a dense sweep; this runs on every inked page in the OCR hot path.
     """
     h, w = ink.shape
     if h == 0 or w == 0 or not ink.any():
         return 0.0
     ys, xs = np.nonzero(ink)
-    best_shear, best_score = 0.0, -1.0
+
+    def score(s: float) -> float:
+        yy = np.clip(ys - np.round(s * xs).astype(np.int64), 0, h - 1)
+        return float(np.bincount(yy, minlength=h).astype(np.float64).var())
+
+    best_shear, best_score = 0.0, score(0.0)
     for s in np.linspace(-max_shear, max_shear, steps):
-        yy = ys - np.round(s * xs).astype(np.int64)
-        yy = np.clip(yy, 0, h - 1)
-        counts = np.bincount(yy, minlength=h).astype(np.float64)
-        score = counts.var()
-        if score > best_score:
-            best_score, best_shear = score, float(s)
+        sc = score(float(s))
+        if sc > best_score:
+            best_score, best_shear = sc, float(s)
+    step = 2 * max_shear / (steps - 1)
+    for s in np.linspace(best_shear - step / 1.5, best_shear + step / 1.5, 5):
+        sc = score(float(s))
+        if sc > best_score:
+            best_score, best_shear = sc, float(s)
     return best_shear
 
 
 def deskew(gray: np.ndarray, shear: float) -> np.ndarray:
-    """Remove vertical shear from a grayscale page (fill = white)."""
+    """Remove vertical shear from a grayscale page (fill = white).
+
+    Vectorized gather: each column x is shifted by -round(shear*x); a
+    single fancy-index builds the output (no per-column Python loop —
+    this runs per page in the OCR hot path)."""
     if abs(shear) < 1e-9:
         return gray
     h, w = gray.shape
-    out = np.full_like(gray, 255)
-    for x in range(w):
-        dy = int(round(shear * x))
-        if dy == 0:
-            out[:, x] = gray[:, x]
-        elif 0 < dy < h:
-            out[: h - dy, x] = gray[dy:, x]
-        elif -h < dy < 0:
-            out[-dy:, x] = gray[: h + dy, x]
-    return out
+    dy = np.round(shear * np.arange(w)).astype(np.int64)  # per-column shift
+    rows = np.arange(h)[:, None] + dy[None, :]            # source row index
+    valid = (rows >= 0) & (rows < h)
+    cols = np.broadcast_to(np.arange(w)[None, :], (h, w))
+    out = np.where(valid, gray[np.clip(rows, 0, h - 1), cols], 255)
+    return out.astype(gray.dtype)
 
 
 def cc_segment(ink: np.ndarray) -> list[tuple[int, int, int, int]]:

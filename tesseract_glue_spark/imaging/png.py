@@ -49,8 +49,15 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def _unfilter(raw: np.ndarray, w: int, h: int) -> np.ndarray:
-    """Undo PNG scanline filters for 1-byte-per-pixel grayscale."""
+    """Undo PNG scanline filters for 1-byte-per-pixel grayscale.
+
+    Fast path: when every scanline uses filter 0 (None) — which is what
+    our encoder always emits — the image is a pure reshape+slice, no
+    per-row Python loop (this sits in the OCR hot path)."""
     stride = w + 1
+    mat = raw.reshape(h, stride)
+    if not mat[:, 0].any():  # all filter bytes 0
+        return mat[:, 1:].copy()
     out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
         ftype = raw[y * stride]

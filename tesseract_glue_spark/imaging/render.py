@@ -37,7 +37,10 @@ import numpy as np
 
 from tesseract_glue_spark.imaging.png import encode_png
 
-MEDIA_POOL = 1500          # distinct media ids in the synthetic corpus
+MEDIA_POOL = 6000          # distinct media ids in the synthetic corpus
+                           # (≈4× ref sharing at sf0.1's ~24k media spans —
+                           # enough to exercise dedup-before-OCR without
+                           # capping OCR work at bench scale)
 PAYLOAD_ROWS = 8
 PAYLOAD_MAGIC = b"TG"
 _GLYPH_MULT = 2654435761   # Knuth multiplicative constant (public domain)

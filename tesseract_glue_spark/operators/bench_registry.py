@@ -1,0 +1,47 @@
+"""Operator benchmarks picked up by bench.py (name -> zero-arg thunk).
+
+Covers the heavy non-extraction families: MinHash-LSH dedup, n-gram
+Jaccard, SimHash pairs, brute-force + LSH ANN over embeddings, and the
+windowed relational aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import SparkSession
+
+from tesseract_glue_spark.operators.dedup import (
+    minhash_lsh_pairs_sql,
+    ngram_jaccard_pairs_sql,
+    simhash_pairs_sql,
+)
+from tesseract_glue_spark.operators.registry import spark_runner
+from tesseract_glue_spark.operators.relational import events_hourly_sql, pricing_summary_sql
+from tesseract_glue_spark.operators.similarity import (
+    ann_topk_bruteforce_sql,
+    ann_topk_lsh_sql,
+)
+from tesseract_glue_spark.operators.text import langid_sql, quality_sql
+
+
+def register(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
+    specs = {
+        "dedup_minhash_lsh": (minhash_lsh_pairs_sql, ("documents",)),
+        "dedup_ngram_jaccard": (ngram_jaccard_pairs_sql, ("documents",)),
+        "dedup_simhash_pairs": (simhash_pairs_sql, ("documents",)),
+        "ann_topk_brute": (ann_topk_bruteforce_sql, ("embeddings",)),
+        "ann_topk_lsh": (ann_topk_lsh_sql, ("embeddings",)),
+        "text_langid_quality": (
+            lambda d, table="documents": f"SELECT q.doc_id, q.quality_score, l.lang_pred "
+            f"FROM ({quality_sql(d)}) q JOIN ({langid_sql(d)}) l ON q.doc_id = l.doc_id",
+            ("documents",),
+        ),
+        "rel_pricing_summary": (pricing_summary_sql, ("lineitem",)),
+        "rel_events_hourly": (events_hourly_sql, ("events",)),
+    }
+    out: dict[str, Callable[[], int]] = {}
+    for name, (builder, tables) in specs.items():
+        runner = spark_runner(builder, tables=tables)
+        out[name] = (lambda r=runner: r(spark, sf_dir).count())
+    return out

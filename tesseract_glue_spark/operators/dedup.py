@@ -1,0 +1,259 @@
+"""Deduplication operators over the flat ``documents`` table.
+
+The scale-critical family for a 100 TB training-data pipeline. Every
+operator is dual-dialect SQL (see :mod:`..functions.dialect`) so the
+Spark query and its DuckDB oracle are the same template; all similarity
+values are emitted as floor-scaled BIGINTs and thresholds are compared
+in integer arithmetic — no cross-engine float hazards.
+
+Scale design:
+
+* **exact_dedup** — hash-groupBy on the normalized-text md5; one shuffle
+  keyed by fingerprint, min(doc_id) as the canonical representative.
+* **ngram_jaccard_pairs** — inverted-index join (explode shingles →
+  self-join on shingle → count intersections), NOT O(n²): only docs
+  sharing ≥1 shingle ever meet. A stop-shingle frequency cap
+  (``max_df``) bounds the worst-case join fan-out the way stop-words
+  bound posting lists.
+* **minhash_lsh_pairs** — MinHash signatures (K=16, universal-hash
+  permutations over md5-prefix base hashes) banded 4×4; candidate pairs
+  from band-key equality (one groupBy per band via a union), then
+  verified with the true shingle Jaccard. This is the 10^12-doc path:
+  candidates ∝ collisions, never all-pairs.
+* **simhash** — 32-bit sign-aggregated fingerprint + Hamming-≤k pairs
+  via 4×8-bit band blocking and ``bit_count(xor)`` verification.
+"""
+
+from __future__ import annotations
+
+from tesseract_glue_spark.functions import dialect as D
+from tesseract_glue_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_COEFFS,
+    MINHASH_P,
+    SIMHASH_BITS,
+)
+from tesseract_glue_spark.operators.text import _norm
+
+SHINGLE_W = 3        # words per shingle
+JACCARD_TAU_X10K = 2000   # report pairs with Jaccard ≥ 0.2
+MAX_DF = 50          # stop-shingle cap for the inverted-index join
+HAMMING_MAX = 3
+
+
+def _lateral(d: str, expr: str, alias: str) -> str:
+    """Cross-apply an array expression as rows."""
+    if d == D.SPARK:
+        return f"LATERAL VIEW explode({expr}) _lv AS {alias}"
+    return f", unnest({expr}) AS _lv({alias})"
+
+
+def _shingles_cte(d: str, table: str) -> str:
+    """CTE producing (doc_id, sh): distinct word-{SHINGLE_W}-gram
+    shingles of the normalized text. Docs shorter than the window get a
+    single whole-text shingle so they still participate."""
+    norm = _norm(d)
+    w = D.ws_tokens(d, "norm")
+    nw = D.array_len(d, "w")
+    gram = D.array_join(d, D.array_slice(d, "w", "i+1", SHINGLE_W))
+    grams = D.transform_seq(d, "0", f"{nw} - {SHINGLE_W}", "i", gram)
+    arr = f"CASE WHEN {nw} < {SHINGLE_W} THEN array(norm) ELSE {grams} END" \
+        if d == D.SPARK else f"CASE WHEN {nw} < {SHINGLE_W} THEN [norm] ELSE {grams} END"
+    return f"""
+    tok AS (
+        SELECT doc_id, norm, {w} AS w
+        FROM (SELECT doc_id, {norm} AS norm FROM {table}) n
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, sh
+        FROM (SELECT doc_id, {arr} AS arr FROM tok) t {_lateral(d, "arr", "sh")}
+    )
+    """.strip()
+
+
+def exact_dedup_sql(d: str, table: str = "documents") -> str:
+    """Exact dedup by normalized-text hash: one row per distinct
+    content, canonical representative = min doc_id."""
+    norm = _norm(d)
+    fp = D.md5_hex(d, "norm")
+    return f"""
+    SELECT {fp} AS fp_md5,
+           MIN(doc_id) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM (SELECT doc_id, {norm} AS norm FROM {table}) n
+    GROUP BY {fp}
+    """.strip()
+
+
+def ngram_jaccard_pairs_sql(d: str, table: str = "documents") -> str:
+    """Near-dup pairs by true n-gram Jaccard via inverted-index join.
+
+    Threshold test is pure integer arithmetic:
+    ``10^4 · |A∩B| ≥ τ_x10k · |A∪B|`` — deterministic across engines.
+    """
+    return f"""
+    WITH {_shingles_cte(d, table)},
+    df AS (
+        SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= {MAX_DF}
+    ),
+    filtered AS (
+        SELECT s.doc_id, s.sh FROM shingles s JOIN df USING (sh)
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM filtered GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {D.scaled_ratio(d, "n_inter", "sa.n + sb.n - n_inter")} AS jaccard_x10k
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 10000 * n_inter >= {JACCARD_TAU_X10K} * (sa.n + sb.n - n_inter)
+    """.strip()
+
+
+def _hashes_cte(d: str) -> str:
+    """Base hash computed ONCE per (doc, shingle): the K permutations
+    below all reference column ``h`` — without this hoist each MIN
+    aggregate recomputes the md5 (engines don't CSE across aggregate
+    expressions; measured 16× hashing cost at sf0.1)."""
+    h = D.str_hash64(d, "sh")
+    return f"hashes AS (SELECT doc_id, {h} AS h FROM shingles)"
+
+
+def _sig_exprs(d: str) -> str:
+    return ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+
+
+def minhash_signatures_sql(d: str, table: str = "documents") -> str:
+    """Per-doc MinHash signature (K={MINHASH_K} universal hashes over
+    md5-prefix base hashes of word shingles)."""
+    return f"""
+    WITH {_shingles_cte(d, table)},
+    {_hashes_cte(d)}
+    SELECT doc_id,
+               {_sig_exprs(d)}
+    FROM hashes
+    GROUP BY doc_id
+    """.strip()
+
+
+def minhash_lsh_pairs_sql(d: str, table: str = "documents") -> str:
+    """LSH candidate generation (bands of {LSH_ROWS} rows) + verification
+    with the true shingle Jaccard. Output = verified near-dup pairs."""
+    band_keys = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"s{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        key = D.md5_hex(d, f"concat_ws('_', {cols})")
+        band_keys.append(f"{key} AS band{b}")
+    band_cols = ",\n           ".join(band_keys)
+    band_union = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_no, band{b} AS band_key FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH {_shingles_cte(d, table)},
+    {_hashes_cte(d)},
+    sig0 AS (
+        SELECT doc_id,
+               {_sig_exprs(d)}
+        FROM hashes
+        GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {band_cols}
+        FROM sig0
+    ),
+    bands AS (
+{band_union}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shingles x ON x.doc_id = c.doc_a
+        JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           {D.scaled_ratio(d, "n_inter", "sa.n + sb.n - n_inter")} AS jaccard_x10k
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 10000 * n_inter >= {JACCARD_TAU_X10K} * (sa.n + sb.n - n_inter)
+    """.strip()
+
+
+def simhash_sql(d: str, table: str = "documents") -> str:
+    """32-bit SimHash per document: bit b is the sign of the sum of
+    ±1 contributions from each shingle's base hash bit b. The base hash
+    is computed once per shingle (hashes CTE), THEN exploded ×32 bits."""
+    bit_sum = "SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)" \
+        if d == D.DUCKDB else "SUM(CASE WHEN (shiftright(h, CAST(b AS INT)) % 2) = 1 THEN 1 ELSE -1 END)"
+    seq = "sequence(0, 31)" if d == D.SPARK else "generate_series(0, 31)"
+    shl_b = "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))" if d == D.SPARK else "(CAST(1 AS BIGINT) << b)"
+    return f"""
+    WITH {_shingles_cte(d, table)},
+    {_hashes_cte(d)},
+    bit_votes AS (
+        SELECT doc_id, b, {bit_sum} AS vote
+        FROM hashes {_lateral(d, seq, "b")}
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN {shl_b} ELSE 0 END) AS BIGINT) AS simhash
+    FROM bit_votes
+    GROUP BY doc_id
+    """.strip()
+
+
+def simhash_pairs_sql(d: str, table: str = "documents") -> str:
+    """Near-dup pairs by SimHash: block on any equal 8-bit band, verify
+    Hamming distance ≤ {HAMMING_MAX} via bit_count(xor)."""
+    ham = D.bit_count(d, D.bitwise_xor(d, "a.simhash", "b.simhash"))
+    shr = (lambda k: f"(shiftright(simhash, {8 * k}) % 256)") if d == D.SPARK else (
+        lambda k: f"((simhash >> {8 * k}) % 256)"
+    )
+    band_union = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, simhash, {k} AS band_no, {shr(k)} AS band_key FROM sh"
+        for k in range(4)
+    )
+    return f"""
+    WITH sh AS ({simhash_sql(d, table)}),
+    bands AS (
+{band_union}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE {ham} <= {HAMMING_MAX}
+    """.strip()
+
+
+DEDUP_OPS = {
+    "dedup_exact": exact_dedup_sql,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs_sql,
+    "dedup_minhash_signatures": minhash_signatures_sql,
+    "dedup_minhash_lsh": minhash_lsh_pairs_sql,
+    "dedup_simhash": simhash_sql,
+    "dedup_simhash_pairs": simhash_pairs_sql,
+}

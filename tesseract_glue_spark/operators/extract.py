@@ -126,8 +126,12 @@ def _make_ocr_fn(config: ExtractionConfig):
                         if ink.any():
                             shear = kernels.estimate_shear(ink)
                             if abs(shear) > 1e-3:
+                                # deskew preserves pixel values → the Otsu
+                                # threshold is unchanged; re-binarize by
+                                # compare only (no second histogram pass)
+                                t = kernels.otsu_threshold(body)
                                 body = kernels.deskew(body, shear)
-                                ink = kernels.otsu_binarize(body)
+                                ink = body <= t
                             n_zones = len(kernels.xy_cut(ink))
                     text = engine.recognize(gray)
                     status = errors.STATUS_EMPTY if text == "" else errors.STATUS_OK
@@ -171,10 +175,22 @@ def ocr_media(spans: DataFrame, pages: DataFrame, config: ExtractionConfig) -> D
     ensure_shipped(spans.sparkSession)
     refs = distinct_media_refs(spans)
     resolved = refs.join(pages.select("media_ref", "image"), "media_ref", "left")
-    if config.ocr_partitions:
-        # shape Arrow batches for the UDF: pixel payloads are the heavy
-        # column, so bound rows-per-partition explicitly at scale
-        resolved = resolved.repartition(config.ocr_partitions, "media_ref")
+    # ALWAYS round-robin repartition before the OCR UDF. Two traps here:
+    # (a) AQE sizes partitions by bytes and coalesces a "small" page
+    #     batch onto one task — but per-row OCR cost is huge relative to
+    #     row size, so byte-based coalescing serializes the stage;
+    # (b) repartition(N, 'media_ref') is ELIDED by Catalyst as redundant
+    #     (the upstream distinct already hash-partitions on media_ref),
+    #     after which AQE collapses that shuffle to 1 partition.
+    # Round-robin repartition(N) avoids both: it is never elided (it's a
+    # different partitioning), AQE never coalesces a user-specified N,
+    # and it load-balances pages evenly across UDF workers regardless of
+    # ref-hash skew.
+    # 4 tasks per core: per-page cost varies by page class (deskew,
+    # picture blocks), so exact-width partitioning makes the stage wait
+    # on its slowest task; over-decomposition smooths stragglers.
+    n_parts = config.ocr_partitions or 4 * spans.sparkSession.sparkContext.defaultParallelism
+    resolved = resolved.repartition(n_parts)
     return resolved.mapInPandas(_make_ocr_fn(config), schema=OCR_RESULT_SCHEMA)
 
 

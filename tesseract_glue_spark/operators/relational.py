@@ -1,0 +1,125 @@
+"""Relational operator coverage over the TPC-H-ish driver tables
+(SURVEY §2B: scan, filter, projection, join, aggregation, window,
+top-k). Dual-dialect SQL like every other operator family.
+
+Cross-engine determinism: monetary/real-valued columns are quantized to
+integer cents *inside* the query (``round(x*100)`` — same argument as
+the embedding quantization: a 2-decimal value stored as double never
+lands exactly on .5 when scaled), so sums/averages are exact integer
+arithmetic regardless of each engine's summation order. Timestamps are
+reduced to date strings via per-dialect formatting. Every SUM is
+wrapped in CAST(... AS BIGINT): DuckDB's SUM(BIGINT) yields HUGEINT,
+which pandas materializes as float64 and breaks strict value-hashing.
+"""
+
+from __future__ import annotations
+
+from tesseract_glue_spark.functions import dialect as D
+
+
+def _cents(col: str) -> str:
+    return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+def _pct(col: str) -> str:
+    """0.07 → 7 (integer percent)."""
+    return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+def _date_str(d: str, col: str) -> str:
+    if d == D.SPARK:
+        return f"date_format({col}, 'yyyy-MM-dd')"
+    return f"strftime({col}, '%Y-%m-%d')"
+
+
+def pricing_summary_sql(d: str, table: str = "lineitem") -> str:
+    """TPC-H Q1-shaped aggregation: group-scan with partial (map-side)
+    aggregation — Catalyst plans HashAggregate(partial) → shuffle →
+    HashAggregate(final), the at-scale shape."""
+    qty = "CAST(round(l_quantity) AS BIGINT)"
+    price = _cents("l_extendedprice")
+    disc = _pct("l_discount")
+    tax = _pct("l_tax")
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({qty}) AS BIGINT) AS sum_qty,
+           CAST(SUM({price}) AS BIGINT) AS sum_base_cents,
+           CAST(SUM({price} * (100 - {disc})) AS BIGINT) AS sum_disc_x100,
+           CAST(SUM({price} * (100 - {disc}) * (100 + {tax})) AS BIGINT) AS sum_charge_x10k,
+           {D.scaled_ratio(d, f"SUM({qty})", "COUNT(*)")} AS avg_qty_x10k,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM {table}
+    WHERE {_date_str(d, "l_shipdate")} <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.strip()
+
+
+def top_customers_sql(d: str, table: str = "orders") -> str:
+    """Join + aggregation + deterministic top-k (ties broken by key).
+    At scale: broadcast the customer dim; Catalyst/AQE picks it."""
+    total = _cents("o_totalprice")
+    return f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({total}) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM {table} o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """.strip()
+
+
+def order_rank_window_sql(d: str, table: str = "orders") -> str:
+    """Window function: per-customer order ranking by value."""
+    total = _cents("o_totalprice")
+    return f"""
+    SELECT o_custkey, o_orderkey, total_cents, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, {total} AS total_cents,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY {total} DESC, o_orderkey) AS rnk
+        FROM {table}
+    ) t
+    WHERE rnk <= 3
+    """.strip()
+
+
+def events_hourly_sql(d: str, table: str = "events") -> str:
+    """Time-bucketed aggregation over the event stream (the batch twin
+    of the Structured Streaming windowed aggregation)."""
+    if d == D.SPARK:
+        hour = "date_format(ts, 'yyyy-MM-dd HH:00:00')"
+    else:
+        hour = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')"
+    val = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+    SELECT {hour} AS hour_bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM({val}) AS BIGINT) AS sum_value_cents
+    FROM {table}
+    GROUP BY {hour}, event_type
+    """.strip()
+
+
+def nation_rollup_sql(d: str, table: str = "customer") -> str:
+    """Multi-way join + hierarchy aggregation (region→nation)."""
+    bal = _cents("c_acctbal")
+    return f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM({bal}) AS BIGINT) AS sum_acctbal_cents
+    FROM {table} c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """.strip()
+
+
+RELATIONAL_OPS = {
+    "rel_pricing_summary": (pricing_summary_sql, ("lineitem",)),
+    "rel_top_customers": (top_customers_sql, ("orders", "customer")),
+    "rel_order_rank_window": (order_rank_window_sql, ("orders",)),
+    "rel_events_hourly": (events_hourly_sql, ("events",)),
+    "rel_nation_rollup": (nation_rollup_sql, ("customer", "nation", "region")),
+}

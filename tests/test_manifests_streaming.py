@@ -1,0 +1,182 @@
+"""Tests: manifest/resume protocol + structured-streaming operators +
+SQL-operator parity (text/dedup/similarity/relational vs DuckDB)."""
+
+import json
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+class TestManifestsResume:
+    @pytest.fixture(scope="class")
+    def extracted(self, spark):
+        from tesseract_glue_spark import ExtractionConfig, extract_documents
+        from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+
+        docs = interleaved_documents(spark, SF_DIR)
+        return extract_documents(docs, pages_for(docs), ExtractionConfig()).cache()
+
+    def test_write_and_manifests(self, extracted, tmp_path):
+        from tesseract_glue_spark.sources import manifests as M
+
+        out = str(tmp_path / "out")
+        m = M.write_extracted(extracted, out, n_buckets=8)
+        assert sum(v["n_docs"] for v in m.values()) == extracted.count()
+        assert set(m) == M.done_buckets(out)
+        # manifests carry engine lineage (tesseract_version analogue)
+        any_m = next(iter(m.values()))
+        assert "engine_version" in any_m["engine"]
+
+    def test_resume_skips_done_buckets(self, spark, extracted, tmp_path):
+        from tesseract_glue_spark.fixtures import interleaved_documents
+        from tesseract_glue_spark.sources import manifests as M
+
+        out = str(tmp_path / "out2")
+        M.write_extracted(extracted, out, n_buckets=8)
+        docs = interleaved_documents(spark, SF_DIR)
+        # everything done → nothing to process
+        assert M.resume_filter(docs, out, n_buckets=8).count() == 0
+        # invalidate one bucket → exactly that bucket's docs come back
+        victim = sorted(M.done_buckets(out))[0]
+        path = os.path.join(out, M.MANIFEST_DIR, f"bucket-{victim:05d}.json")
+        with open(path, "w") as fh:
+            fh.write("{corrupt")
+        todo = M.resume_filter(docs, out, n_buckets=8)
+        bucketed = M.with_bucket(docs, 8)
+        expected = bucketed.where(F.col("bucket") == victim).count()
+        assert todo.count() == expected > 0
+
+    def test_manifest_atomic_write(self, tmp_path):
+        from tesseract_glue_spark.sources.manifests import _atomic_write_json
+
+        p = str(tmp_path / "m" / "x.json")
+        _atomic_write_json(p, {"a": 1})
+        assert json.load(open(p)) == {"a": 1}
+        assert not [f for f in os.listdir(tmp_path / "m") if f.endswith(".tmp")]
+
+
+    def test_resume_write_preserves_other_buckets(self, spark, extracted, tmp_path):
+        """REGRESSION: a resume run writing one bucket must not wipe the
+        other buckets' data (dynamic partition overwrite, not static)."""
+        from tesseract_glue_spark.sources import manifests as M
+
+        out = str(tmp_path / "out3")
+        M.write_extracted(extracted, out, n_buckets=8)
+        full = spark.read.parquet(os.path.join(out, M.DATA_DIR))
+        n_total = full.count()
+        buckets_before = {r["bucket"] for r in full.select("bucket").distinct().collect()}
+        # simulate a resume that re-processes only bucket 3
+        subset = M.with_bucket(extracted, 8).where(F.col("bucket") == 3).drop("bucket")
+        M.write_extracted(subset, out, n_buckets=8)
+        after = spark.read.parquet(os.path.join(out, M.DATA_DIR))
+        assert {r["bucket"] for r in after.select("bucket").distinct().collect()} == buckets_before
+        assert after.count() == n_total
+
+
+class TestStreaming:
+    @pytest.fixture(scope="class")
+    def events_dir(self, tmp_path_factory):
+        # the file stream source requires a DIRECTORY of files
+        import shutil
+
+        d = tmp_path_factory.mktemp("events_stream")
+        shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+        return str(d)
+
+    def test_hourly_stream_matches_batch(self, spark, events_dir):
+        from tesseract_glue_spark.streaming import events as S
+
+        src = f"{SF_DIR}/events.parquet"
+        stream_df = S.hourly_agg(S.read_events_stream(spark, events_dir))
+        S.run_stream_to_memory(stream_df, "hourly_test")
+        got = spark.sql("select * from hourly_test").orderBy(
+            "hour_bucket", "event_type"
+        )
+        want = S.batch_hourly_agg(spark.read.parquet(src)).orderBy(
+            "hour_bucket", "event_type"
+        )
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    def test_session_stream_runs(self, spark, events_dir):
+        from tesseract_glue_spark.streaming import events as S
+
+        stream_df = S.session_agg(S.read_events_stream(spark, events_dir))
+        S.run_stream_to_memory(stream_df, "session_test")
+        rows = spark.sql("select * from session_test").collect()
+        assert len(rows) > 0
+        assert all(r["n_events"] >= 1 for r in rows)
+
+
+class TestSqlOperatorParity:
+    """Every dual-dialect SQL operator family vs DuckDB at sf0.001
+    (sf0.01 runs in the driver gate; this is the fast in-repo check)."""
+
+    @pytest.fixture(scope="class")
+    def duck(self):
+        con = duckdb.connect()
+        for t in ["documents", "embeddings", "lineitem", "orders",
+                  "customer", "events", "nation", "region"]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        return con
+
+    def _check(self, spark, duck, builder, tables):
+        from tesseract_glue_spark.operators.registry import oracle, spark_runner
+
+        got = spark_runner(builder, tables=tables)(spark, SF_DIR).toPandas()
+        want = duck.sql(oracle(builder)).df()
+        got = got.reindex(sorted(got.columns), axis=1).sort_values(
+            by=sorted(got.columns)).reset_index(drop=True)
+        want = want.reindex(sorted(want.columns), axis=1).sort_values(
+            by=sorted(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        return len(got)
+
+    def test_text_ops(self, spark, duck):
+        from tesseract_glue_spark.operators.text import TEXT_OPS
+
+        for name, b in TEXT_OPS.items():
+            assert self._check(spark, duck, b, ("documents",)) > 0, name
+
+    def test_dedup_ops(self, spark, duck):
+        from tesseract_glue_spark.operators.dedup import DEDUP_OPS
+
+        for name, b in DEDUP_OPS.items():
+            self._check(spark, duck, b, ("documents",))
+
+    def test_similarity_ops(self, spark, duck):
+        from tesseract_glue_spark.operators.similarity import SIMILARITY_OPS
+
+        for name, b in SIMILARITY_OPS.items():
+            self._check(spark, duck, b, ("embeddings",))
+
+    def test_relational_ops(self, spark, duck):
+        from tesseract_glue_spark.operators.relational import RELATIONAL_OPS
+
+        for name, (b, tabs) in RELATIONAL_OPS.items():
+            assert self._check(spark, duck, b, tabs) > 0, name
+
+    def test_lsh_recall_vs_bruteforce(self, spark):
+        """ANN-LSH is approximate: measure its top-k recall against the
+        exact baseline (sanity bound only — random embeddings give LSH
+        little structure to exploit)."""
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.similarity import (
+            ann_topk_bruteforce_sql,
+            ann_topk_lsh_sql,
+        )
+
+        brute = spark_runner(ann_topk_bruteforce_sql, tables=("embeddings",))(
+            spark, SF_DIR).toPandas()
+        lsh = spark_runner(ann_topk_lsh_sql, tables=("embeddings",))(
+            spark, SF_DIR).toPandas()
+        b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+        l = {(r.query_id, r.neighbor_id) for r in lsh.itertuples()}
+        recall = len(b & l) / len(b)
+        assert recall > 0.02, f"LSH recall collapsed: {recall}"

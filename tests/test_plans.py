@@ -1,0 +1,108 @@
+"""Plan-shape regression tests: the optimizations that matter at 100 TB
+must be visible in the physical plan, not just assumed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesseract_glue_spark.plans import checks as C
+from tests.conftest import SF_DIR
+
+
+class TestScanQuality:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        df = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .where(F.col("l_quantity") > 30)
+            .select("l_orderkey", "l_quantity")
+        )
+        plan = C.plan_text(df)
+        assert C.has_pushed_filter(plan, "l_quantity"), plan
+
+    def test_column_pruning_two_column_projection(self, spark):
+        """A 2-column projection must not read all 11 lineitem columns."""
+        df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = C.plan_text(df)
+        assert C.columns_pruned(plan, "lineitem", {"l_orderkey", "l_quantity"}), plan
+
+    def test_extraction_scan_prunes_to_needed_columns(self, spark):
+        """The corpus derivation reads only (doc_id, text) from the flat
+        documents table — never lang/source/n_chars."""
+        from tesseract_glue_spark.fixtures import interleaved_documents
+
+        plan = C.plan_text(interleaved_documents(spark, SF_DIR))
+        assert C.columns_pruned(plan, "documents", {"doc_id", "text"}), plan
+
+
+class TestExtractionPlanShape:
+    @pytest.fixture(scope="class")
+    def extraction_plan(self, spark):
+        from tesseract_glue_spark import ExtractionConfig, extract_documents
+        from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+
+        # cached fragments left by other test modules change plan
+        # statistics (InMemoryRelation → broadcast flips to sort-merge);
+        # assert the canonical uncached plan
+        spark.catalog.clearCache()
+        docs = interleaved_documents(spark, SF_DIR)
+        out = extract_documents(docs, pages_for(docs), ExtractionConfig())
+        return C.plan_text(out)
+
+    def test_ocr_fanout_survives_optimizer(self, extraction_plan):
+        """Regression for the two traps found in round 1: Catalyst eliding
+        the pre-UDF repartition, then AQE coalescing the stage to 1 task."""
+        assert C.has_user_repartition(extraction_plan), extraction_plan
+
+    def test_wholestage_codegen_present(self, spark):
+        """With AQE on, explain shows AdaptiveSparkPlan isFinalPlan=false
+        and no codegen subtrees — disable AQE for this one assertion so
+        the *(n) markers are visible in the static plan."""
+        from tesseract_glue_spark import ExtractionConfig, extract_documents
+        from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            docs = interleaved_documents(spark, SF_DIR)
+            out = extract_documents(docs, pages_for(docs), ExtractionConfig())
+            assert C.has_wholestage_codegen(C.plan_text(out, "simple"))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def test_shuffle_budget(self, extraction_plan):
+        """Shuffle inventory of the extraction pipeline stays bounded
+        (distinct, fan-out repartition, stitch join sides, reassembly —
+        anything beyond ~8 exchanges means a new unplanned shuffle)."""
+        assert C.count_exchanges(extraction_plan) <= 8, extraction_plan
+
+    def test_broadcast_stitch_when_forced(self, spark):
+        from tesseract_glue_spark import ExtractionConfig, extract_documents
+        from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+
+        docs = interleaved_documents(spark, SF_DIR)
+        out = extract_documents(
+            docs, pages_for(docs), ExtractionConfig(broadcast_ocr_results=True)
+        )
+        assert C.has_broadcast_join(C.plan_text(out))
+
+
+class TestRelationalPlanShape:
+    def test_partial_aggregation_before_shuffle(self, spark):
+        """TPC-H Q1 shape: map-side partial HashAggregate must appear
+        below the exchange (two HashAggregate levels)."""
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.relational import pricing_summary_sql
+
+        df = spark_runner(pricing_summary_sql, tables=("lineitem",))(spark, SF_DIR)
+        plan = C.plan_text(df)
+        assert plan.count("HashAggregate") >= 2, plan
+
+    def test_dim_join_broadcasts(self, spark):
+        """customer⋈nation⋈region: the small dims broadcast."""
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.relational import nation_rollup_sql
+
+        df = spark_runner(nation_rollup_sql, tables=("customer", "nation", "region"))(
+            spark, SF_DIR
+        )
+        assert C.has_broadcast_join(C.plan_text(df))
