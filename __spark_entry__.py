@@ -102,11 +102,14 @@ def _sql_ops() -> dict[str, tuple]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tesseract_glue_spark.operators.registry import spark_runner
 
+    from tesseract_glue_spark.operators.pages_meta import pages_metadata_spark
+
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_full_flat": _extracted_flat,
         "extract_doc_metrics": _extract_doc_metrics,
         "explode_spans": _explode_spans,
         "media_dedup": _media_dedup,
+        "pages_metadata": pages_metadata_spark,
     }
     for name, (builder, tables) in _sql_ops().items():
         q[name] = spark_runner(builder, tables=tables)
@@ -128,6 +131,9 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({flat}) WHERE kind = 'media' AND media_ref <> '' GROUP BY media_ref"
         ),
     }
+    from tesseract_glue_spark.operators.pages_meta import pages_metadata_oracle_sql
+
+    o["pages_metadata"] = pages_metadata_oracle_sql()
     for name, (builder, _tables) in _sql_ops().items():
         o[name] = oracle(builder)
     return o

@@ -16,7 +16,14 @@ import hashlib
 import os
 import tempfile
 
-__all__ = ["LANGUAGE_CODES", "validate_language", "is_file_valid", "stage_asset"]
+__all__ = [
+    "LANGUAGE_CODES",
+    "validate_language",
+    "is_file_valid",
+    "stage_asset",
+    "download_asset",
+    "fetch_language_pack",
+]
 
 _PAIRS: tuple[tuple[str, str], ...] = (
     ("afr", "Afrikaans"), ("amh", "Amharic"), ("ara", "Arabic"), ("asm", "Assamese"),
@@ -103,3 +110,55 @@ def stage_asset(data: bytes, destination: str, md5_hash: str | None = None) -> s
             os.unlink(tmp)
         raise
     return destination
+
+
+def download_asset(
+    url: str,
+    destination: str,
+    md5_hash: str | None = None,
+    chunk_size: int = 1 << 14,
+    opener=None,
+) -> str:
+    """Chunked download with streaming MD5, skip-if-valid cache, and
+    atomic rename — the driver-side asset-fetch step (traineddata packs
+    before ``addFile`` distribution; ``languages.py:158-211`` semantics).
+
+    ``opener`` is injectable for hermetic tests (defaults to
+    ``urllib.request.urlopen``); tasks never call this — only the driver.
+    """
+    if md5_hash and is_file_valid(destination, md5_hash):
+        return destination
+    if opener is None:
+        from urllib import request
+
+        opener = request.urlopen
+    os.makedirs(os.path.dirname(destination) or ".", exist_ok=True)
+    digest = hashlib.md5()
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(destination) or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as out, opener(url) as resp:
+            for chunk in iter(lambda: resp.read(chunk_size), b""):
+                digest.update(chunk)
+                out.write(chunk)
+        if md5_hash and digest.hexdigest() != md5_hash:
+            raise ValueError(
+                f"downloaded asset hash mismatch: expected {md5_hash}, got {digest.hexdigest()}"
+            )
+        os.replace(tmp, destination)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return destination
+
+
+def fetch_language_pack(
+    lang: str, destination_dir: str, base_url: str, md5_hash: str | None = None, opener=None
+) -> str:
+    """Fetch one ``{lang}.traineddata`` into ``destination_dir``
+    (``download_language_pack`` analogue, ``languages.py:270-293``) —
+    validate the code first, then hash-verified atomic download. Ship to
+    executors afterwards via ``SparkContext.addFile``."""
+    validate_language(lang)
+    dest = os.path.join(destination_dir, f"{lang}.traineddata")
+    return download_asset(f"{base_url.rstrip('/')}/{lang}.traineddata", dest, md5_hash, opener=opener)

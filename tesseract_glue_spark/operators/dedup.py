@@ -249,6 +249,20 @@ def simhash_pairs_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
+def minhash_dedup_survivors_sql(d: str, table: str = "documents") -> str:
+    """The deduplicated corpus: greedy keep-first — drop every doc that
+    appears as the LARGER id of a verified near-dup pair. Deterministic
+    and one-pass (no transitive closure / iterative clustering needed
+    for a keep-list; the canonical smallest member always survives)."""
+    return f"""
+    SELECT doc_id
+    FROM {table}
+    WHERE doc_id NOT IN (
+        SELECT doc_b FROM ({minhash_lsh_pairs_sql(d, table)}) pairs
+    )
+    """.strip()
+
+
 DEDUP_OPS = {
     "dedup_exact": exact_dedup_sql,
     "dedup_ngram_jaccard": ngram_jaccard_pairs_sql,
@@ -256,4 +270,5 @@ DEDUP_OPS = {
     "dedup_minhash_lsh": minhash_lsh_pairs_sql,
     "dedup_simhash": simhash_sql,
     "dedup_simhash_pairs": simhash_pairs_sql,
+    "dedup_minhash_survivors": minhash_dedup_survivors_sql,
 }

@@ -62,6 +62,7 @@ OCR_RESULT_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("n_zones", T.IntegerType()),
         T.StructField("shear", T.DoubleType()),
+        T.StructField("partition_id", T.IntegerType()),
     ]
 )
 
@@ -103,7 +104,11 @@ def _make_ocr_fn(config: ExtractionConfig):
     ``reader2.cpp:15-27``) — NOT per batch, NOT per row."""
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         engine = get_engine(config)  # lazy init, cached for the worker's lifetime
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
         for pdf in batches:
             refs, texts, statuses, ws, hs, zones, shears = [], [], [], [], [], [], []
             for ref, img_bytes in zip(pdf["media_ref"], pdf["image"]):
@@ -159,6 +164,7 @@ def _make_ocr_fn(config: ExtractionConfig):
                     "height": hs,
                     "n_zones": zones,
                     "shear": shears,
+                    "partition_id": pid,
                 }
             )
 
@@ -192,6 +198,23 @@ def ocr_media(spans: DataFrame, pages: DataFrame, config: ExtractionConfig) -> D
     n_parts = config.ocr_partitions or 4 * spans.sparkSession.sparkContext.defaultParallelism
     resolved = resolved.repartition(n_parts)
     return resolved.mapInPandas(_make_ocr_fn(config), schema=OCR_RESULT_SCHEMA)
+
+
+def ocr_partition_metrics(ocr: DataFrame) -> DataFrame:
+    """Per-partition OCR metrics (lineage side-channel, SURVEY §7
+    Stage 3): page/status counts and zone totals per physical partition
+    of the OCR stage. Feed into run-level manifests; at scale, persist
+    the ocr frame first so metrics don't recompute the stage."""
+    return ocr.groupBy("partition_id").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("ocr_status") == errors.STATUS_EMPTY, 1).otherwise(0)).alias("n_empty"),
+        F.sum(F.when(F.col("ocr_status") == errors.STATUS_DANGLING, 1).otherwise(0)).alias("n_dangling"),
+        F.sum(
+            F.when(F.col("ocr_status") == errors.STATUS_DECODE_ERROR, 1).otherwise(0)
+        ).alias("n_decode_errors"),
+        F.sum("n_zones").alias("n_zones_total"),
+        F.avg(F.abs("shear")).alias("avg_abs_shear"),
+    )
 
 
 def stitch(spans: DataFrame, ocr: DataFrame, config: ExtractionConfig) -> DataFrame:

@@ -116,10 +116,50 @@ def nation_rollup_sql(d: str, table: str = "customer") -> str:
     """.strip()
 
 
+def user_sessions_sql(d: str, table: str = "events") -> str:
+    """Sessionization via gaps-and-islands window functions (the batch
+    twin of streaming ``session_window``): a new session starts when the
+    gap to the previous event of the same user exceeds 30 minutes;
+    session id = running count of session starts."""
+    if d == D.SPARK:
+        ts_str = "date_format(min_ts, 'yyyy-MM-dd HH:mm:ss')"
+        gap_sec = "(unix_timestamp(ts) - unix_timestamp(prev_ts))"
+    else:
+        ts_str = "strftime(min_ts, '%Y-%m-%d %H:%M:%S')"
+        gap_sec = "CAST(epoch(ts) - epoch(prev_ts) AS BIGINT)"
+    return f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM {table}
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL OR {gap_sec} > 1800 THEN 1 ELSE 0 END AS is_start
+        FROM ordered
+    ),
+    sessions AS (
+        -- the running sum MUST use the same total order as the LAG
+        -- (ties on ts broken by event_id) or engines disagree on ties
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           {ts_str.replace("min_ts", "MIN(ts)")} AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """.strip()
+
+
 RELATIONAL_OPS = {
     "rel_pricing_summary": (pricing_summary_sql, ("lineitem",)),
     "rel_top_customers": (top_customers_sql, ("orders", "customer")),
     "rel_order_rank_window": (order_rank_window_sql, ("orders",)),
     "rel_events_hourly": (events_hourly_sql, ("events",)),
     "rel_nation_rollup": (nation_rollup_sql, ("customer", "nation", "region")),
+    "rel_user_sessions": (user_sessions_sql, ("events",)),
 }

@@ -181,9 +181,21 @@ def embedding_label_centroids_sql(d: str, table: str = "embeddings") -> str:
     """.strip()
 
 
+def embedding_dedup_survivors_sql(d: str, table: str = "embeddings") -> str:
+    """Embedding-cosine near-dup keep-list (greedy keep-smallest-id)."""
+    return f"""
+    SELECT vec_id, label
+    FROM {table}
+    WHERE vec_id NOT IN (
+        SELECT vec_b FROM ({cosine_neardup_pairs_sql(d, table)}) pairs
+    )
+    """.strip()
+
+
 SIMILARITY_OPS = {
     "emb_cosine_neardup": cosine_neardup_pairs_sql,
     "emb_ann_topk_brute": ann_topk_bruteforce_sql,
     "emb_ann_topk_lsh": ann_topk_lsh_sql,
     "emb_label_centroids": embedding_label_centroids_sql,
+    "emb_dedup_survivors": embedding_dedup_survivors_sql,
 }

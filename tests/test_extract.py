@@ -215,3 +215,15 @@ class TestEdgeDocs:
             assert r["spans"] == []
             assert r["ocr_pages"] == 0 and r["ocr_empty_pages"] == 0
             assert r["status"] == "ok"
+
+
+class TestOcrMetrics:
+    def test_partition_metrics(self, spark, docs, pages):
+        from tesseract_glue_spark.operators import extract as X
+
+        spans = X.explode_spans(docs)
+        ocr = X.ocr_media(spans, pages, ExtractionConfig())
+        m = X.ocr_partition_metrics(ocr).collect()
+        assert sum(r["n_pages"] for r in m) == ocr.count()
+        assert all(r["partition_id"] >= 0 for r in m)
+        assert sum(r["n_dangling"] for r in m) > 0  # contract guarantees danglings

@@ -242,3 +242,52 @@ class TestEngine:
         assert is_file_valid(dest, md5)
         with pytest.raises(ValueError):
             stage_asset(b"other", str(tmp_path / "b"), md5)
+
+
+class TestDownloader:
+    """Hermetic download tests (mocked opener), mirroring the
+    reference's mocked-urlopen strategy (tests/test_languages.py:9-53)."""
+
+    @staticmethod
+    def _opener_for(payload: bytes):
+        import contextlib
+        import io
+
+        def opener(url):
+            return contextlib.closing(io.BytesIO(payload))
+
+        return opener
+
+    def test_download_verify_and_cache(self, tmp_path):
+        import hashlib
+
+        from tesseract_glue_spark.languages import download_asset
+
+        payload = b"model-bytes" * 1000
+        md5 = hashlib.md5(payload).hexdigest()
+        dest = str(tmp_path / "eng.traineddata")
+        assert download_asset("http://x/eng", dest, md5, opener=self._opener_for(payload)) == dest
+        assert open(dest, "rb").read() == payload
+        # second call: skip-if-valid — opener that would fail is never called
+        def exploding_opener(url):
+            raise AssertionError("network touched despite valid cache")
+        assert download_asset("http://x/eng", dest, md5, opener=exploding_opener) == dest
+
+    def test_download_hash_mismatch_cleans_up(self, tmp_path):
+        from tesseract_glue_spark.languages import download_asset
+
+        dest = str(tmp_path / "bad.traineddata")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="hash mismatch"):
+            download_asset("http://x/bad", dest, "0" * 32, opener=self._opener_for(b"junk"))
+        import os
+        assert not os.path.exists(dest)
+        assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+    def test_fetch_language_pack_validates_code(self, tmp_path):
+        import pytest as _pytest
+
+        from tesseract_glue_spark.languages import fetch_language_pack
+
+        with _pytest.raises(ValueError, match="unknown"):
+            fetch_language_pack("zzz", str(tmp_path), "http://x", opener=self._opener_for(b""))

@@ -180,3 +180,53 @@ class TestSqlOperatorParity:
         l = {(r.query_id, r.neighbor_id) for r in lsh.itertuples()}
         recall = len(b & l) / len(b)
         assert recall > 0.02, f"LSH recall collapsed: {recall}"
+
+
+class TestStreamingExtraction:
+    def test_streaming_extraction_matches_batch(self, spark, tmp_path):
+        """The flagship pipeline as a stream (foreachBatch): multi-file
+        source drained with availableNow must produce exactly the batch
+        pipeline's output, and a restarted stream (same checkpoint) must
+        process nothing new."""
+        import glob as globmod
+
+        from tesseract_glue_spark import ExtractionConfig, extract_documents
+        from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+        from tesseract_glue_spark.streaming.extract_stream import (
+            extract_stream,
+            read_documents_stream,
+        )
+
+        docs = interleaved_documents(spark, SF_DIR)
+        pages = pages_for(docs).cache()
+        src = str(tmp_path / "docs_in")
+        docs.repartition(4).write.parquet(src)  # 4 files → ≥2 micro-batches
+        out = str(tmp_path / "stream_out")
+
+        q = extract_stream(
+            read_documents_stream(spark, src), pages, out, ExtractionConfig(), n_buckets=4
+        )
+        q.awaitTermination(180)
+
+        from functools import reduce
+
+        from pyspark.sql import DataFrame as _DF
+
+        got = reduce(
+            _DF.unionByName,
+            [spark.read.parquet(p) for p in sorted(globmod.glob(f"{out}/batch=*/data"))],
+        )
+        want = extract_documents(docs, pages, ExtractionConfig())
+        assert got.count() == want.count() == docs.count()
+        g = {r["doc_id"]: (r["ocr_pages"], r["status"]) for r in got.collect()}
+        w = {r["doc_id"]: (r["ocr_pages"], r["status"]) for r in want.collect()}
+        assert g == w
+        n_batches = len(globmod.glob(f"{out}/batch=*"))
+        assert n_batches >= 2  # multi-micro-batch, not one big gulp
+
+        # restart with same checkpoint → nothing reprocessed
+        q2 = extract_stream(
+            read_documents_stream(spark, src), pages, out, ExtractionConfig(), n_buckets=4
+        )
+        q2.awaitTermination(60)
+        assert len(globmod.glob(f"{out}/batch=*")) == n_batches
