@@ -111,8 +111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": _media_dedup,
         "pages_metadata": pages_metadata_spark,
     }
+    from tesseract_glue_spark.operators.registry import cached_shingles_runner
+
     for name, (builder, tables) in _sql_ops().items():
-        q[name] = spark_runner(builder, tables=tables)
+        if name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+            q[name] = cached_shingles_runner(builder, tables=tables)
+        else:
+            q[name] = spark_runner(builder, tables=tables)
     return q
 
 

@@ -67,8 +67,12 @@ def main() -> None:
     extras: dict[str, float] = {"n_docs": n_docs, "n_pages": n_pages, "cpus": cpus}
 
     def timed(name: str, fn, runs: int = 1) -> None:
+        # one untimed warmup per query: first execution is dominated by
+        # Janino codegen compilation + JVM JIT (measured 5x the
+        # steady-state wall), which a long-lived cluster pays once
+        fn()
         best = None
-        for _ in range(runs):
+        for _ in range(max(runs, 1)):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0

@@ -32,6 +32,10 @@ class ExtractionConfig:
     broadcast_ocr_results: bool | None = None  # None → let Catalyst/AQE decide
     salt_reassembly: int = 0          # >0 → two-phase salted doc reassembly
     arrow_batch_rows: int = 256       # cap Arrow batch size for pixel payloads
+    # The pages store contract is one row per media_ref. If an upstream
+    # resolver can emit duplicates, enable this guard — it costs a full
+    # shuffle of image bytes, so it's opt-in rather than always-on.
+    dedup_pages: bool = False
 
     def validated(self) -> "ExtractionConfig":
         """Driver-side preflight: fail fast before submitting a job.

@@ -16,7 +16,7 @@ from tesseract_glue_spark.operators.dedup import (
     ngram_jaccard_pairs_sql,
     simhash_pairs_sql,
 )
-from tesseract_glue_spark.operators.registry import spark_runner
+from tesseract_glue_spark.operators.registry import cached_shingles_runner, spark_runner
 from tesseract_glue_spark.operators.relational import events_hourly_sql, pricing_summary_sql
 from tesseract_glue_spark.operators.similarity import (
     ann_topk_bruteforce_sql,
@@ -42,6 +42,9 @@ def register(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
     }
     out: dict[str, Callable[[], int]] = {}
     for name, (builder, tables) in specs.items():
-        runner = spark_runner(builder, tables=tables)
+        if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+            runner = cached_shingles_runner(builder, tables=tables)
+        else:
+            runner = spark_runner(builder, tables=tables)
         out[name] = (lambda r=runner: r(spark, sf_dir).count())
     return out

@@ -52,22 +52,37 @@ def _lateral(d: str, expr: str, alias: str) -> str:
 def _shingles_cte(d: str, table: str) -> str:
     """CTE producing (doc_id, sh): distinct word-{SHINGLE_W}-gram
     shingles of the normalized text. Docs shorter than the window get a
-    single whole-text shingle so they still participate."""
+    single whole-text shingle so they still participate.
+
+    Formulation matters for throughput: higher-order-function lambdas
+    (transform/slice/array_join) are ALWAYS interpreted in Spark — no
+    whole-stage codegen — which made shingling the dominant cost of
+    every dedup query (measured 6× slower). Instead we explode a plain
+    index sequence and build each shingle in a codegen'd projection
+    (element_at + concat_ws)."""
     norm = _norm(d)
     w = D.ws_tokens(d, "norm")
     nw = D.array_len(d, "w")
-    gram = D.array_join(d, D.array_slice(d, "w", "i+1", SHINGLE_W))
-    grams = D.transform_seq(d, "0", f"{nw} - {SHINGLE_W}", "i", gram)
-    arr = f"CASE WHEN {nw} < {SHINGLE_W} THEN array(norm) ELSE {grams} END" \
-        if d == D.SPARK else f"CASE WHEN {nw} < {SHINGLE_W} THEN [norm] ELSE {grams} END"
+    if d == D.SPARK:
+        parts = ", ".join(f"element_at(w, i + {k + 1})" for k in range(SHINGLE_W))
+        lateral = f"LATERAL VIEW explode(sequence(0, greatest(nw - {SHINGLE_W}, 0))) _t AS i"
+    else:
+        parts = ", ".join(f"w[i + {k + 1}]" for k in range(SHINGLE_W))
+        lateral = f", unnest(generate_series(0, greatest(nw - {SHINGLE_W}, 0))) AS _t(i)"
+    gram = f"concat_ws(' ', {parts})"
     return f"""
     tok AS (
-        SELECT doc_id, norm, {w} AS w
-        FROM (SELECT doc_id, {norm} AS norm FROM {table}) n
+        SELECT doc_id, norm, w, {nw} AS nw
+        FROM (
+            SELECT doc_id, norm, {w} AS w
+            FROM (SELECT doc_id, {norm} AS norm FROM {table}) n0
+        ) n1
     ),
     shingles AS (
-        SELECT DISTINCT doc_id, sh
-        FROM (SELECT doc_id, {arr} AS arr FROM tok) t {_lateral(d, "arr", "sh")}
+        SELECT DISTINCT doc_id,
+               CASE WHEN nw < {SHINGLE_W} THEN norm ELSE {gram} END AS sh
+        FROM tok {lateral}
+        WHERE nw < {SHINGLE_W} OR i <= nw - {SHINGLE_W}
     )
     """.strip()
 
@@ -86,14 +101,30 @@ def exact_dedup_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
-def ngram_jaccard_pairs_sql(d: str, table: str = "documents") -> str:
+def _shingles_src(d: str, table: str, shingles_table: str | None) -> str:
+    """Either the inline shingles CTE, or a reference to an externally
+    materialized shingles view (the Spark side caches shingles once —
+    CTEs are inlined, so a pairs query otherwise recomputes shingling in
+    every plan branch; the DuckDB oracle keeps the inline form)."""
+    if shingles_table:
+        return f"shingles AS (SELECT doc_id, sh FROM {shingles_table})"
+    return _shingles_cte(d, table)
+
+
+def shingles_sql(d: str, table: str = "documents") -> str:
+    return f"WITH {_shingles_cte(d, table)} SELECT doc_id, sh FROM shingles"
+
+
+def ngram_jaccard_pairs_sql(
+    d: str, table: str = "documents", shingles_table: str | None = None
+) -> str:
     """Near-dup pairs by true n-gram Jaccard via inverted-index join.
 
     Threshold test is pure integer arithmetic:
     ``10^4 · |A∩B| ≥ τ_x10k · |A∪B|`` — deterministic across engines.
     """
     return f"""
-    WITH {_shingles_cte(d, table)},
+    WITH {_shingles_src(d, table, shingles_table)},
     df AS (
         SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= {MAX_DF}
     ),
@@ -146,7 +177,9 @@ def minhash_signatures_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
-def minhash_lsh_pairs_sql(d: str, table: str = "documents") -> str:
+def minhash_lsh_pairs_sql(
+    d: str, table: str = "documents", shingles_table: str | None = None
+) -> str:
     """LSH candidate generation (bands of {LSH_ROWS} rows) + verification
     with the true shingle Jaccard. Output = verified near-dup pairs."""
     band_keys = []
@@ -160,7 +193,7 @@ def minhash_lsh_pairs_sql(d: str, table: str = "documents") -> str:
         for b in range(LSH_BANDS)
     )
     return f"""
-    WITH {_shingles_cte(d, table)},
+    WITH {_shingles_src(d, table, shingles_table)},
     {_hashes_cte(d)},
     sig0 AS (
         SELECT doc_id,

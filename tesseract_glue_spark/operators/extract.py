@@ -180,7 +180,13 @@ def ocr_media(spans: DataFrame, pages: DataFrame, config: ExtractionConfig) -> D
 
     ensure_shipped(spans.sparkSession)
     refs = distinct_media_refs(spans)
-    resolved = refs.join(pages.select("media_ref", "image"), "media_ref", "left")
+    page_side = pages.select("media_ref", "image")
+    if config.dedup_pages:
+        # duplicate page rows would multiply through the left join and
+        # duplicate spans after stitch — guard when the resolver can't
+        # guarantee uniqueness (costs a pages shuffle; see config)
+        page_side = page_side.dropDuplicates(["media_ref"])
+    resolved = refs.join(page_side, "media_ref", "left")
     # ALWAYS round-robin repartition before the OCR UDF. Two traps here:
     # (a) AQE sizes partitions by bytes and coalesces a "small" page
     #     batch onto one task — but per-row OCR cost is huge relative to

@@ -33,6 +33,28 @@ def spark_runner(
     return run
 
 
+def cached_shingles_runner(
+    builder: SqlBuilder, tables: tuple[str, ...] = ("documents",)
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Runner for shingle-pair queries: materialize + cache the shingle
+    table once, then run the query against the cached view. CTEs are
+    inlined by Catalyst, so the inline form recomputes shingling in
+    every plan branch (sig, sizes, and both sides of the verification
+    join — 5× at sf0.1). The DuckDB oracle keeps the inline CTE; results
+    are identical by construction."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tesseract_glue_spark.operators.dedup import shingles_sql
+
+        _register(spark, sf_dir, tables)
+        sh = spark.sql(shingles_sql(D.SPARK)).persist()
+        sh.count()
+        sh.createOrReplaceTempView("shingles_mv")
+        return spark.sql(builder(D.SPARK, shingles_table="shingles_mv"))
+
+    return run
+
+
 def oracle(builder: SqlBuilder) -> str:
     """→ the DuckDB SQL string for ``oracle_sql()``."""
     return builder(D.DUCKDB)

@@ -107,20 +107,94 @@ def langid_sql(d: str, table: str = "documents") -> str:
 def fingerprint_sql(d: str, table: str = "documents") -> str:
     """Document fingerprints: md5 of normalized text (exact-dup key) and
     the min-hash of word 5-gram shingles (near-dup-stable rolling-hash
-    analogue; winnowing's min-selection over the shingle stream)."""
+    analogue; winnowing's min-selection over the shingle stream).
+
+    Explode-index + MIN-aggregate rather than a transform/array_min
+    lambda: Spark never codegens higher-order functions, so the lambda
+    form runs interpreted (see operators/dedup.py::_shingles_cte)."""
     norm = _norm(d)
     w = D.ws_tokens(d, "norm")
     nw = D.array_len(d, "w")
-    shingle = D.md5_hex(d, D.array_join(d, D.array_slice(d, "w", "i+1", 5)))
-    mins = D.array_min(d, D.transform_seq(d, "0", f"{nw} - 5", "i", shingle))
+    W = 5
+    if d == D.SPARK:
+        parts = ", ".join(f"element_at(w, i + {k + 1})" for k in range(W))
+        lateral = f"LATERAL VIEW explode(sequence(0, greatest(nw - {W}, 0))) _t AS i"
+    else:
+        parts = ", ".join(f"w[i + {k + 1}]" for k in range(W))
+        lateral = f", unnest(generate_series(0, greatest(nw - {W}, 0))) AS _t(i)"
+    gram_md5 = D.md5_hex(d, f"concat_ws(' ', {parts})")
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, norm, {w} AS w, {nw} AS nw
+        FROM (SELECT doc_id, {norm} AS norm FROM {table}) n
+    ),
+    gm AS (
+        SELECT doc_id, MIN({gram_md5}) AS mn
+        FROM tok {lateral}
+        WHERE nw >= {W} AND i <= nw - {W}
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           {D.md5_hex(d, "t.norm")} AS fp_md5,
+           coalesce(gm.mn, {D.md5_hex(d, "t.norm")}) AS fp_shingle_min
+    FROM tok t LEFT JOIN gm ON t.doc_id = gm.doc_id
+    """.strip()
+
+
+BOILERPLATE_PATTERNS = [
+    # nav/footer-ish fragments (the HTML-boilerplate-strip analogue of
+    # the north_rule, applied to plain text: markers + surrounding words)
+    r"(copyright|all rights reserved|terms of service|privacy policy|cookie)[a-z ]*",
+    r"(click here|subscribe now|sign up|log in|advertisement)[a-z ]*",
+]
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def _regexp_replace_all(d: str, col: str, pattern: str, repl: str) -> str:
+    lit = D.regex_literal(d, pattern)
+    if d == D.SPARK:
+        return f"regexp_replace({col}, {lit}, '{repl}')"
+    return f"regexp_replace({col}, {lit}, '{repl}', 'g')"
+
+
+def boilerplate_strip_sql(d: str, table: str = "documents") -> str:
+    """Main-content extraction for flat text: strip boilerplate
+    fragments, collapse the leftover whitespace, report how much was
+    removed. (The DOM-heuristics analogue over the text stand-in —
+    at 100 TB this runs pre-dedup so boilerplate doesn't glue unrelated
+    docs together in MinHash space.)"""
+    expr = "lower(text)"
+    for pat in BOILERPLATE_PATTERNS:
+        expr = _regexp_replace_all(d, expr, pat, " ")
+    cleaned = _regexp_replace_all(d, f"trim({expr})", r"\s+", " ")
     return f"""
     SELECT doc_id,
-           {D.md5_hex(d, "norm")} AS fp_md5,
-           CASE WHEN {nw} < 5 THEN {D.md5_hex(d, "norm")} ELSE {mins} END AS fp_shingle_min
-    FROM (
-        SELECT doc_id, norm, {w} AS w
-        FROM (SELECT doc_id, {norm} AS norm FROM {table}) n
-    ) t
+           {cleaned} AS clean_text,
+           CAST(length(text) AS BIGINT) AS n_chars_before,
+           CAST(length({cleaned}) AS BIGINT) AS n_chars_after,
+           {D.scaled_ratio(d, f"length(text) - length({cleaned})", "length(text)")} AS removed_x10k
+    FROM {table}
+    """.strip()
+
+
+def pii_scrub_sql(d: str, table: str = "documents") -> str:
+    """PII redaction (emails / phone numbers / SSN-shaped) with per-doc
+    hit counts — a mandatory pass before corpus publication."""
+    expr = "text"
+    count_terms = []
+    for pat, repl in PII_PATTERNS:
+        count_terms.append(D.regexp_count(d, "text", pat))
+        expr = _regexp_replace_all(d, expr, pat, repl)
+    total = " + ".join(f"({c})" for c in count_terms)
+    return f"""
+    SELECT doc_id,
+           {expr} AS scrubbed_text,
+           CAST({total} AS BIGINT) AS n_pii_hits
+    FROM {table}
     """.strip()
 
 
@@ -129,4 +203,6 @@ TEXT_OPS = {
     "text_quality": quality_sql,
     "text_langid": langid_sql,
     "text_fingerprint": fingerprint_sql,
+    "text_boilerplate_strip": boilerplate_strip_sql,
+    "text_pii_scrub": pii_scrub_sql,
 }

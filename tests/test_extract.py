@@ -227,3 +227,40 @@ class TestOcrMetrics:
         assert sum(r["n_pages"] for r in m) == ocr.count()
         assert all(r["partition_id"] >= 0 for r in m)
         assert sum(r["n_dangling"] for r in m) > 0  # contract guarantees danglings
+
+
+class TestRobustness:
+    def test_duplicate_pages_guard(self, spark, docs, pages):
+        """A resolver emitting duplicate page rows must not duplicate
+        spans when the dedup_pages guard is on."""
+        dup_pages = pages.unionByName(pages.limit(50))
+        base = extract.extract_documents(docs, pages, ExtractionConfig())
+        guarded = extract.extract_documents(
+            docs, dup_pages, ExtractionConfig(dedup_pages=True)
+        )
+        a = {r["doc_id"]: spans_key(r["spans"]) for r in base.collect()}
+        b = {r["doc_id"]: spans_key(r["spans"]) for r in guarded.collect()}
+        assert a == b
+
+    def test_extreme_skew_doc(self, spark, pages):
+        """One document with thousands of spans (the 10^12-scale hot-key
+        shape): salted reassembly must still reconstruct exact order."""
+        from tesseract_glue_spark.fixtures import DOCUMENTS_SCHEMA
+        from tesseract_glue_spark.imaging.render import num_to_ref
+
+        n_spans = 4001
+        spans = []
+        for o in range(n_spans):
+            if o % 2 == 0:
+                spans.append(("text", f"t{o}", "", o))
+            else:
+                spans.append(("media", "", num_to_ref((o * 17) % 6000), o))
+        docs = spark.createDataFrame([(777000, spans)], schema=DOCUMENTS_SCHEMA)
+        out = extract.extract_documents(
+            docs, pages, ExtractionConfig(salt_reassembly=16)
+        ).collect()
+        assert len(out) == 1
+        got = out[0]["spans"]
+        assert len(got) == n_spans
+        assert [s["offset"] for s in got] == list(range(n_spans))
+        assert all(s["text"] == f"t{s['offset']}" for s in got if s["kind"] == "text")
