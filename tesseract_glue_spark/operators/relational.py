@@ -155,6 +155,96 @@ def user_sessions_sql(d: str, table: str = "events") -> str:
     """.strip()
 
 
+def value_quantiles_sql(d: str, table: str = "events") -> str:
+    """Exact DISCRETE quantiles per event_type via window ranks —
+    integer-deterministic across engines (interpolating percentile
+    functions round differently between engines; approx sketches
+    differ by construction)."""
+    val = "CAST(round(value * 100) AS BIGINT)"
+    picks = []
+    for q, name in ((50, "p50"), (90, "p90"), (99, "p99")):
+        # discrete quantile: the ceil(q/100 * n)-th smallest value
+        picks.append(
+            f"MAX(CASE WHEN rn = CAST(ceil({q} / 100.0 * cnt) AS BIGINT) THEN v END) AS {name}_cents"
+        )
+    return f"""
+    WITH ranked AS (
+        SELECT event_type, {val} AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY {val}, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM {table}
+    )
+    SELECT event_type,
+           CAST(MAX(cnt) AS BIGINT) AS n_events,
+           {', '.join(picks)}
+    FROM ranked
+    GROUP BY event_type
+    """.strip()
+
+
+def top_parts_sql(d: str, table: str = "lineitem") -> str:
+    """Fact⋈dim join over part/supplier: revenue per part with its
+    top supplier, deterministic top-25."""
+    rev = "CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+    return f"""
+    SELECT p.p_partkey,
+           CAST(SUM({rev}) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+    FROM {table} l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey
+    ORDER BY revenue_cents DESC, p.p_partkey
+    LIMIT 25
+    """.strip()
+
+
+def pricing_rollup_sql(d: str, table: str = "lineitem") -> str:
+    """ROLLUP hierarchy totals (returnflag → linestatus → grand total);
+    NULL rollup keys are coalesced to 'ALL' so group labels hash
+    identically across engines."""
+    price = _cents("l_extendedprice")
+    return f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM({price}) AS BIGINT) AS sum_base_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM {table}
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.strip()
+
+
+def retained_users_sql(d: str, table: str = "events") -> str:
+    """Set-op coverage: users active in BOTH halves of the observed
+    time range (INTERSECT)."""
+    if d == D.SPARK:
+        mid = "(SELECT timestampadd(SECOND, CAST((unix_timestamp(max(ts)) - unix_timestamp(min(ts))) / 2 AS INT), min(ts)) FROM events_src)"
+    else:
+        mid = "(SELECT min(ts) + (max(ts) - min(ts)) / 2 FROM events_src)"
+    return f"""
+    WITH events_src AS (SELECT * FROM {table})
+    SELECT user_id FROM events_src WHERE ts < {mid}
+    INTERSECT
+    SELECT user_id FROM events_src WHERE ts >= {mid}
+    """.strip()
+
+
+def events_pivot_sql(d: str, table: str = "events") -> str:
+    """Pivot event types to columns via conditional aggregation (the
+    engine-portable pivot form) — one row per user."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+    SELECT user_id,
+           {cols},
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM {table}
+    GROUP BY user_id
+    """.strip()
+
+
 RELATIONAL_OPS = {
     "rel_pricing_summary": (pricing_summary_sql, ("lineitem",)),
     "rel_top_customers": (top_customers_sql, ("orders", "customer")),
@@ -162,4 +252,9 @@ RELATIONAL_OPS = {
     "rel_events_hourly": (events_hourly_sql, ("events",)),
     "rel_nation_rollup": (nation_rollup_sql, ("customer", "nation", "region")),
     "rel_user_sessions": (user_sessions_sql, ("events",)),
+    "rel_value_quantiles": (value_quantiles_sql, ("events",)),
+    "rel_top_parts": (top_parts_sql, ("lineitem", "part")),
+    "rel_pricing_rollup": (pricing_rollup_sql, ("lineitem",)),
+    "rel_retained_users": (retained_users_sql, ("events",)),
+    "rel_events_pivot": (events_pivot_sql, ("events",)),
 }

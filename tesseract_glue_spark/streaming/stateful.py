@@ -1,0 +1,71 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Per-user running activity state over the event stream: counts, value
+sum, and last-seen timestamp maintained in GroupState with a processing-
+time timeout; each micro-batch emits the updated snapshot per user. The
+genuinely non-SQL-expressible streaming shape (incremental state across
+micro-batches) the north_star's "custom stateful operators" calls for.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_events BIGINT, sum_value_cents BIGINT, last_ts TIMESTAMP"
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_cents", T.LongType()),
+        T.StructField("batch_events", T.LongType()),
+    ]
+)
+
+
+def _update_user_state(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = 0, 0
+    last_ts = None
+    for pdf in pdfs:
+        n += len(pdf)
+        total += int((pdf["value"] * 100).round().sum())
+        ts_max = pdf["ts"].max()
+        last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+    if state.exists:
+        prev_n, prev_total, _prev_ts = state.get
+    else:
+        prev_n, prev_total = 0, 0
+    new_n, new_total = prev_n + n, prev_total + total
+    state.update((new_n, new_total, last_ts))
+    state.setTimeoutDuration(3_600_000)  # expire idle users after 1h
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [new_n],
+            "sum_value_cents": [new_total],
+            "batch_events": [n],
+        }
+    )
+
+
+def user_activity_state(events: DataFrame) -> DataFrame:
+    """events stream → per-user cumulative activity snapshots."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

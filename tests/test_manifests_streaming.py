@@ -78,16 +78,17 @@ class TestManifestsResume:
         assert after.count() == n_total
 
 
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # the file stream source requires a DIRECTORY of files
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
 class TestStreaming:
-    @pytest.fixture(scope="class")
-    def events_dir(self, tmp_path_factory):
-        # the file stream source requires a DIRECTORY of files
-        import shutil
-
-        d = tmp_path_factory.mktemp("events_stream")
-        shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
-        return str(d)
-
     def test_hourly_stream_matches_batch(self, spark, events_dir):
         from tesseract_glue_spark.streaming import events as S
 
@@ -119,8 +120,8 @@ class TestSqlOperatorParity:
     @pytest.fixture(scope="class")
     def duck(self):
         con = duckdb.connect()
-        for t in ["documents", "embeddings", "lineitem", "orders",
-                  "customer", "events", "nation", "region"]:
+        for t in ["documents", "embeddings", "lineitem", "orders", "customer",
+                  "events", "nation", "region", "part", "supplier"]:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
             )
@@ -230,3 +231,40 @@ class TestStreamingExtraction:
         )
         q2.awaitTermination(60)
         assert len(globmod.glob(f"{out}/batch=*")) == n_batches
+
+
+class TestStatefulStreaming:
+    def test_user_activity_state_accumulates(self, spark, events_dir, tmp_path):
+        """applyInPandasWithState: cumulative per-user state across
+        micro-batches; the FINAL snapshot per user must equal the batch
+        aggregation over all events."""
+        from tesseract_glue_spark.streaming.events import read_events_stream
+        from tesseract_glue_spark.streaming.stateful import user_activity_state
+
+        stream = user_activity_state(read_events_stream(spark, events_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("user_state_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # last snapshot per user (updates accumulate across batches)
+        snap = spark.sql(
+            """
+            SELECT user_id, n_events, sum_value_cents FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM user_state_test
+            ) WHERE rn = 1
+            """
+        )
+        got = {r["user_id"]: (r["n_events"], r["sum_value_cents"]) for r in snap.collect()}
+        batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        want_rows = batch.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        ).collect()
+        want = {r["user_id"]: (r["n"], r["s"]) for r in want_rows}
+        assert got == want
