@@ -71,6 +71,21 @@ def str_hash64(d: str, expr: str) -> str:
     return hex_prefix_to_bigint(d, md5_hex(d, expr))
 
 
+def word_set_count(d: str, col: str, words: tuple[str, ...]) -> str:
+    """Count tokens of ``col`` (lowered, split on non-alphanumerics)
+    that are in ``words`` — the boundary-semantics-free replacement for
+    ``\\b(word|...)\\b`` counting: RE2 (DuckDB) uses ASCII word chars
+    for \\b while Java treats unicode letters as word chars, so the
+    same marker regex matches differently around accented text (found
+    by the adversarial fuzz on 'ñandú' ⊃ 'and')."""
+    wset = ", ".join(f"'{w}'" for w in words)
+    if d == SPARK:
+        toks = f"split(lower({col}), '[^a-z0-9]+')"
+        return f"size(filter({toks}, _w -> _w IN ({wset})))"
+    toks = f"regexp_split_to_array(lower({col}), '[^a-z0-9]+')"
+    return f"len(list_filter({toks}, _w -> _w IN ({wset})))"
+
+
 def array_len(d: str, expr: str) -> str:
     return f"size({expr})" if d == SPARK else f"len({expr})"
 

@@ -198,6 +198,26 @@ def top_parts_sql(d: str, table: str = "lineitem") -> str:
     """.strip()
 
 
+def supplier_nations_sql(d: str, table: str = "lineitem") -> str:
+    """Revenue by supplier nation (fact ⋈ supplier ⋈ nation) — touches
+    the last otherwise-uncovered driver table."""
+    # quantize price and discount separately (exact ints) — rounding a
+    # float PRODUCT is not covered by the 2-decimal .5-safety argument
+    rev = (
+        "(CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))"
+    )
+    return f"""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(SUM({rev}) AS BIGINT) AS revenue_x10k
+    FROM {table} l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """.strip()
+
+
 def pricing_rollup_sql(d: str, table: str = "lineitem") -> str:
     """ROLLUP hierarchy totals (returnflag → linestatus → grand total);
     NULL rollup keys are coalesced to 'ALL' so group labels hash
@@ -254,6 +274,7 @@ RELATIONAL_OPS = {
     "rel_user_sessions": (user_sessions_sql, ("events",)),
     "rel_value_quantiles": (value_quantiles_sql, ("events",)),
     "rel_top_parts": (top_parts_sql, ("lineitem", "part")),
+    "rel_supplier_nations": (supplier_nations_sql, ("lineitem", "supplier", "nation")),
     "rel_pricing_rollup": (pricing_rollup_sql, ("lineitem",)),
     "rel_retained_users": (retained_users_sql, ("events",)),
     "rel_events_pivot": (events_pivot_sql, ("events",)),

@@ -16,19 +16,25 @@ from __future__ import annotations
 
 from tesseract_glue_spark.functions import dialect as D
 
-# Marker stopwords per language; \b word-boundary works in Java regex
-# (Spark) and RE2 (DuckDB) alike.
-LANG_MARKERS: dict[str, str] = {
-    "en": r"\b(the|and|of|to|is|in|that|it|was|for)\b",
-    "de": r"\b(der|die|das|und|ist|nicht|ein|zu|mit|von)\b",
-    "fr": r"\b(le|la|les|et|est|une|dans|que|pour|pas)\b",
-    "es": r"\b(el|los|las|es|una|que|por|con|para|como)\b",
-    "it": r"\b(il|che|di|non|per|una|sono|con|della|anche)\b",
+# Marker stopwords per language. Matched by exact-token membership
+# (split on non-alphanumerics) — NOT by \b regexes, whose word-boundary
+# semantics diverge between Java (unicode word chars) and RE2 (ASCII):
+# the adversarial fuzz caught \band\b matching inside 'ñandú' in
+# DuckDB but not Spark.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "con", "para", "como"),
+    "it": ("il", "che", "di", "non", "per", "una", "sono", "con", "della", "anche"),
 }
 # Deterministic priority order for argmax ties:
 LANG_PRIORITY = ["en", "de", "fr", "es", "it"]
 
-EN_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b"
+EN_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as",
+)
 PUNCT_CLASS = r"[.,;:!?]"
 
 
@@ -60,7 +66,7 @@ def quality_sql(d: str, table: str = "documents") -> str:
     """
     n_words = D.ws_token_count(d, "text")
     n_punct = D.regexp_count(d, "text", PUNCT_CLASS)
-    n_stop = D.regexp_count(d, f"lower(text)", EN_STOPWORDS)
+    n_stop = D.word_set_count(d, "text", EN_STOPWORDS)
     punct_x10k = D.scaled_ratio(d, n_punct, "length(text)")
     stop_x10k = D.scaled_ratio(d, n_stop, n_words)
     return f"""
@@ -80,7 +86,7 @@ def langid_sql(d: str, table: str = "documents") -> str:
     """N-gram/stopword-heuristic language ID with deterministic
     fixed-priority tie-breaking (en > de > fr > es > it > und)."""
     counts = {
-        lang: D.regexp_count(d, "lower(text)", pat) for lang, pat in LANG_MARKERS.items()
+        lang: D.word_set_count(d, "text", words) for lang, words in LANG_MARKERS.items()
     }
     score_cols = ",\n           ".join(
         f"CAST({expr} AS BIGINT) AS score_{lang}" for lang, expr in counts.items()
@@ -147,10 +153,12 @@ BOILERPLATE_PATTERNS = [
     r"(copyright|all rights reserved|terms of service|privacy policy|cookie)[a-z ]*",
     r"(click here|subscribe now|sign up|log in|advertisement)[a-z ]*",
 ]
+# No \b anchors (Java/RE2 boundary semantics diverge near unicode);
+# slight over-match inside longer digit runs is acceptable for a scrub.
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
-    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    (r"\d{3}-\d{2}-\d{4}", "<SSN>"),
 ]
 
 

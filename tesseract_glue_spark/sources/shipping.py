@@ -57,3 +57,11 @@ def ensure_shipped(spark: SparkSession) -> None:
         return
     sc.addPyFile(build_pyfiles_zip())
     setattr(sc, _SHIPPED_ATTR, True)
+
+
+if __name__ == "__main__":
+    # `python -m tesseract_glue_spark.sources.shipping [dest_dir]` →
+    # prints the zip path for `spark-submit --py-files <zip>`
+    import sys
+
+    print(build_pyfiles_zip(sys.argv[1] if len(sys.argv) > 1 else None))
