@@ -112,6 +112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_metadata": pages_metadata_spark,
     }
     from tesseract_glue_spark.operators.registry import cached_shingles_runner
+    from tesseract_glue_spark.operators.similarity import ann_topk_ivf
+
+    # iterative k-means coarse quantizer — genuinely non-SQL-expressible,
+    # so no oracle_sql entry (driver records the rows-only check)
+    q["emb_ann_topk_ivf"] = ann_topk_ivf
 
     for name, (builder, tables) in _sql_ops().items():
         if name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):

@@ -192,6 +192,105 @@ def embedding_dedup_survivors_sql(d: str, table: str = "embeddings") -> str:
     """.strip()
 
 
+IVF_K = 16          # coarse clusters
+IVF_ITERS = 3       # Lloyd iterations
+IVF_NPROBE = 2      # clusters probed per query
+
+_D2 = (
+    "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def ann_topk_ivf(spark, sf_dir: str, table: str = "embeddings"):
+    """IVF (inverted-file) ANN: deterministic integer k-means coarse
+    quantizer + probe-the-nearest-nprobe-clusters exact re-rank.
+
+    Determinism without seeds: vectors are quantized to integer
+    milli-units, centroid updates are integer floor-averages (integer
+    sums are shuffle-order-independent, unlike float sums), and initial
+    centroids are the K lowest vec_ids. Iterative -> not SQL-expressible;
+    the driver records a rows-only check and tests measure recall vs
+    the exact baseline.
+
+    Scale shape: assignment = broadcast(K centroids) x N map-side join;
+    the probe join touches only rows in the query's nprobe clusters —
+    never the full N x N product. Centroids live in a small DataFrame,
+    NOT in literal expressions (a K x dim literal tree is a codegen
+    bomb: minutes of Janino compile per iteration).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark.read.parquet(f"{sf_dir}/{table}.parquet").createOrReplaceTempView(table)
+    q = _quant(D.SPARK)
+    vecs = spark.sql(
+        f"SELECT vec_id, q, {_dot(D.SPARK, 'q', 'q')} AS n2 "
+        f"FROM (SELECT vec_id, {q} AS q FROM {table})"
+    ).persist()
+
+    def cents_df(cents: list[list[int]]):
+        return spark.createDataFrame(
+            [(i, [int(v) for v in c]) for i, c in enumerate(cents)],
+            schema="cluster INT, cq ARRAY<BIGINT>",
+        )
+
+    def assign(df, cdf):
+        scored = df.crossJoin(F.broadcast(cdf)).withColumn("d2", F.expr(_D2))
+        win = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        return (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "d2", "cq")
+        )
+
+    centroids = [list(r["q"]) for r in vecs.orderBy("vec_id").limit(IVF_K).collect()]
+    for _ in range(IVF_ITERS):
+        assigned = assign(vecs, cents_df(centroids))
+        sums = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        acc: dict[int, list[int]] = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], [0] * EMB_DIM)[r["dim"]] = int(r["s"]) // int(r["n"])
+        centroids = [acc.get(i, centroids[i]) for i in range(IVF_K)]
+
+    indexed = assign(vecs, cents_df(centroids)).persist()
+
+    # per-query probe list: the IVF_NPROBE nearest centroids
+    queries = vecs.where(F.col("vec_id") % QUERY_MOD == 0)
+    qc = queries.crossJoin(F.broadcast(cents_df(centroids))).withColumn("d2", F.expr(_D2))
+    win = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("n2").alias("qn2"),
+            "cluster",
+        )
+    )
+    cand = probes.join(indexed, "cluster").where(F.col("vec_id") != F.col("query_id"))
+    dot = "aggregate(zip_with(qq, q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    cos = (
+        f"(CASE WHEN qn2 = 0 OR n2 = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST(floor(10000.0 * {dot} / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) AS BIGINT) END)"
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), F.expr(cos).alias("cos_x10k")
+    )
+    rwin = Window.partitionBy("query_id").orderBy(F.desc("cos_x10k"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rwin))
+        .where(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", "cos_x10k", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 SIMILARITY_OPS = {
     "emb_cosine_neardup": cosine_neardup_pairs_sql,
     "emb_ann_topk_brute": ann_topk_bruteforce_sql,

@@ -268,3 +268,23 @@ class TestStatefulStreaming:
         ).collect()
         want = {r["user_id"]: (r["n"], r["s"]) for r in want_rows}
         assert got == want
+
+
+class TestIvfAnn:
+    def test_ivf_recall_and_determinism(self, spark):
+        """IVF ANN: deterministic across runs; recall vs exact baseline
+        bounded below (random embeddings, nprobe=2/16 clusters)."""
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.similarity import (
+            ann_topk_bruteforce_sql,
+            ann_topk_ivf,
+        )
+
+        a = ann_topk_ivf(spark, SF_DIR).toPandas()
+        b = ann_topk_ivf(spark, SF_DIR).toPandas()
+        assert a.equals(b)
+        brute = spark_runner(ann_topk_bruteforce_sql, tables=("embeddings",))(
+            spark, SF_DIR).toPandas()
+        bset = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+        vset = {(r.query_id, r.neighbor_id) for r in a.itertuples()}
+        assert len(bset & vset) / len(bset) > 0.1
