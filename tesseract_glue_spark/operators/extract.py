@@ -63,6 +63,8 @@ OCR_RESULT_SCHEMA = T.StructType(
         T.StructField("n_zones", T.IntegerType()),
         T.StructField("shear", T.DoubleType()),
         T.StructField("partition_id", T.IntegerType()),
+        T.StructField("confidence_x10k", T.IntegerType()),
+        T.StructField("proc_us", T.LongType()),
     ]
 )
 
@@ -109,10 +111,14 @@ def _make_ocr_fn(config: ExtractionConfig):
         engine = get_engine(config)  # lazy init, cached for the worker's lifetime
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
+        import time as _time
+
         for pdf in batches:
             refs, texts, statuses, ws, hs, zones, shears = [], [], [], [], [], [], []
+            confs, procs = [], []
             for ref, img_bytes in zip(pdf["media_ref"], pdf["image"]):
                 refs.append(ref)
+                _t0 = _time.perf_counter()
                 if img_bytes is None:
                     texts.append("")
                     statuses.append(errors.STATUS_DANGLING)
@@ -120,6 +126,8 @@ def _make_ocr_fn(config: ExtractionConfig):
                     hs.append(0)
                     zones.append(0)
                     shears.append(0.0)
+                    confs.append(0)
+                    procs.append(int(1e6 * (_time.perf_counter() - _t0)))
                     continue
                 try:
                     gray = kernels.to_grayscale(decode_png(bytes(img_bytes)))
@@ -148,6 +156,11 @@ def _make_ocr_fn(config: ExtractionConfig):
                     hs.append(h)
                     zones.append(n_zones)
                     shears.append(float(shear))
+                    # confidence: backends expose [0,1]-scaled certainty
+                    # (the stub's payload decode is exact → 1.0; a real
+                    # Tesseract backend maps mean word confidence here)
+                    confs.append(0 if not engine.good else 10000)
+                    procs.append(int(1e6 * (_time.perf_counter() - _t0)))
                 except errors.ExtractionError:
                     texts.append("")
                     statuses.append(errors.STATUS_DECODE_ERROR)
@@ -155,6 +168,8 @@ def _make_ocr_fn(config: ExtractionConfig):
                     hs.append(0)
                     zones.append(0)
                     shears.append(0.0)
+                    confs.append(0)
+                    procs.append(int(1e6 * (_time.perf_counter() - _t0)))
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
@@ -165,6 +180,8 @@ def _make_ocr_fn(config: ExtractionConfig):
                     "n_zones": zones,
                     "shear": shears,
                     "partition_id": pid,
+                    "confidence_x10k": confs,
+                    "proc_us": procs,
                 }
             )
 
@@ -220,6 +237,8 @@ def ocr_partition_metrics(ocr: DataFrame) -> DataFrame:
         ).alias("n_decode_errors"),
         F.sum("n_zones").alias("n_zones_total"),
         F.avg(F.abs("shear")).alias("avg_abs_shear"),
+        F.avg("confidence_x10k").alias("avg_confidence_x10k"),
+        F.sum("proc_us").alias("proc_us_total"),
     )
 
 

@@ -264,3 +264,50 @@ class TestRobustness:
         assert len(got) == n_spans
         assert [s["offset"] for s in got] == list(range(n_spans))
         assert all(s["text"] == f"t{s['offset']}" for s in got if s["kind"] == "text")
+
+    def test_permuted_input_spans_are_restored(self, spark, pages):
+        """Order restoration: even if the input span ARRAY arrives
+        permuted (violating the ordinal contract), reassembly re-sorts
+        by the carried offset — output order never depends on input
+        array order or shuffle order."""
+        import random as _random
+
+        from tesseract_glue_spark.fixtures import DOCUMENTS_SCHEMA
+        from tesseract_glue_spark.imaging.render import truth_text
+
+        rng = _random.Random(7)
+        from tesseract_glue_spark.imaging.render import ref_to_num
+
+        ref = pages.select("media_ref").orderBy("media_ref").first()["media_ref"]
+        n = ref_to_num(ref)
+        spans = []
+        for o in range(21):
+            if o % 2 == 0:
+                spans.append(("text", f"t{o}", "", o))
+            else:
+                spans.append(("media", "", ref, o))
+        shuffled = spans[:]
+        rng.shuffle(shuffled)
+        docs = spark.createDataFrame([(555000, shuffled)], schema=DOCUMENTS_SCHEMA)
+        out = extract.extract_documents(docs, pages, ExtractionConfig()).collect()
+        got = out[0]["spans"]
+        assert [s["offset"] for s in got] == list(range(21))
+        assert all(
+            s["text"] == (f"t{s['offset']}" if s["kind"] == "text" else truth_text(n))
+            for s in got
+        )
+
+    def test_confidence_and_timing_metrics(self, spark, docs, pages):
+        from tesseract_glue_spark.operators import extract as X
+
+        spans = X.explode_spans(docs)
+        ocr = X.ocr_media(spans, pages, ExtractionConfig())
+        rows = ocr.collect()
+        ok = [r for r in rows if r["ocr_status"] in ("ok", "empty")]
+        bad = [r for r in rows if r["ocr_status"] == "dangling"]
+        assert ok and all(r["confidence_x10k"] == 10000 for r in ok)
+        assert bad and all(r["confidence_x10k"] == 0 for r in bad)
+        assert all(r["proc_us"] >= 0 for r in rows)
+        m = X.ocr_partition_metrics(ocr).collect()
+        assert all(r["proc_us_total"] > 0 for r in m)
+        assert all(0 <= r["avg_confidence_x10k"] <= 10000 for r in m)
