@@ -35,22 +35,36 @@ def regexp_count(d: str, col: str, pattern: str) -> str:
     return f"len(regexp_extract_all({col}, {lit}))"
 
 
+def ascii_trim(d: str, col: str) -> str:
+    """Strip leading/trailing ASCII whitespace via explicit regex.
+
+    NEVER use bare ``trim()`` in dual-dialect SQL: DuckDB's trim strips
+    unicode spaces (NBSP) while Spark's strips ASCII space only — found
+    by the adversarial fuzz on a leading ``\\u00a0``."""
+    pat = regex_literal(d, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$")
+    if d == SPARK:
+        return f"regexp_replace({col}, {pat}, '')"
+    return f"regexp_replace({col}, {pat}, '', 'g')"
+
+
 def ws_token_count(d: str, col: str) -> str:
     """Whitespace token count with the empty-string guard (both engines
     return a 1-element array for '' splits)."""
+    t = ascii_trim(d, col)
     if d == SPARK:
-        arr = f"split(trim({col}), '\\\\s+')"
+        arr = f"split({t}, '\\\\s+')"
     else:
-        arr = f"regexp_split_to_array(trim({col}), '\\s+')"
+        arr = f"regexp_split_to_array({t}, '\\s+')"
     n = f"size({arr})" if d == SPARK else f"len({arr})"
-    return f"(CASE WHEN trim({col}) = '' THEN 0 ELSE {n} END)"
+    return f"(CASE WHEN {t} = '' THEN 0 ELSE {n} END)"
 
 
 def ws_tokens(d: str, col: str) -> str:
     """Whitespace token array (callers must guard empty strings)."""
+    t = ascii_trim(d, col)
     if d == SPARK:
-        return f"split(trim({col}), '\\\\s+')"
-    return f"regexp_split_to_array(trim({col}), '\\s+')"
+        return f"split({t}, '\\\\s+')"
+    return f"regexp_split_to_array({t}, '\\s+')"
 
 
 def md5_hex(d: str, expr: str) -> str:

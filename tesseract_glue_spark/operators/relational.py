@@ -236,15 +236,17 @@ def pricing_rollup_sql(d: str, table: str = "lineitem") -> str:
 def retained_users_sql(d: str, table: str = "events") -> str:
     """Set-op coverage: users active in BOTH halves of the observed
     time range (INTERSECT)."""
-    if d == D.SPARK:
-        mid = "(SELECT timestampadd(SECOND, CAST((unix_timestamp(max(ts)) - unix_timestamp(min(ts))) / 2 AS INT), min(ts)) FROM events_src)"
-    else:
-        mid = "(SELECT min(ts) + (max(ts) - min(ts)) / 2 FROM events_src)"
+    # midpoint in exact integer MICROSECONDS on both sides: Spark's
+    # second-granular timestampadd vs DuckDB's exact interval division
+    # would disagree on events inside the sub-second boundary window
+    us = "unix_micros(CAST(ts AS TIMESTAMP))" if d == D.SPARK else "epoch_us(ts)"
+    mid = f"(SELECT (min({us}) + max({us})) DIV 2 FROM events_src)" \
+        if d == D.SPARK else f"(SELECT (min({us}) + max({us})) // 2 FROM events_src)"
     return f"""
     WITH events_src AS (SELECT * FROM {table})
-    SELECT user_id FROM events_src WHERE ts < {mid}
+    SELECT user_id FROM events_src WHERE {us} < {mid}
     INTERSECT
-    SELECT user_id FROM events_src WHERE ts >= {mid}
+    SELECT user_id FROM events_src WHERE {us} >= {mid}
     """.strip()
 
 

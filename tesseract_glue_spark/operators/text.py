@@ -39,10 +39,13 @@ PUNCT_CLASS = r"[.,;:!?]"
 
 
 def _norm(d: str, col: str = "text") -> str:
-    """lower + collapse whitespace (DuckDB needs the 'g' flag)."""
+    """lower + ascii-trim + collapse whitespace (DuckDB needs the 'g'
+    flag; bare trim() has unicode-vs-ascii divergence — see
+    dialect.ascii_trim)."""
+    t = D.ascii_trim(d, col)
     if d == D.SPARK:
-        return f"lower(regexp_replace(trim({col}), '\\\\s+', ' '))"
-    return f"lower(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
+        return f"lower(regexp_replace({t}, '\\\\s+', ' '))"
+    return f"lower(regexp_replace({t}, '\\s+', ' ', 'g'))"
 
 
 def token_stats_sql(d: str, table: str = "documents") -> str:
@@ -178,7 +181,7 @@ def boilerplate_strip_sql(d: str, table: str = "documents") -> str:
     expr = "lower(text)"
     for pat in BOILERPLATE_PATTERNS:
         expr = _regexp_replace_all(d, expr, pat, " ")
-    cleaned = _regexp_replace_all(d, f"trim({expr})", r"\s+", " ")
+    cleaned = _regexp_replace_all(d, D.ascii_trim(d, f"({expr})"), r"\s+", " ")
     return f"""
     SELECT doc_id,
            {cleaned} AS clean_text,

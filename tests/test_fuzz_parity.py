@@ -24,6 +24,9 @@ ADVERSARIAL_TEXTS = [
     "trailing spaces    ",
     "    leading spaces",
     "der die das und the and le la el los",    # mixed-language markers
+    "it's a 'quoted' str\\ange \\\\ text",        # quotes + backslashes in data
+    "%percent% _underscore_ [brackets] (parens)",
+    "\u00a0nbsp\u2003em-space\u200bzwsp mixed",       # exotic whitespace
 ]
 
 
