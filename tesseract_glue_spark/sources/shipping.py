@@ -26,11 +26,24 @@ def build_pyfiles_zip(dest_dir: str | None = None) -> str:
 
     pkg_dir = os.path.dirname(os.path.abspath(tesseract_glue_spark.__file__))
     root = os.path.dirname(pkg_dir)
+    # already running FROM a zip (spark-submit --py-files): that zip IS
+    # the artifact — walking a zip-internal path yields nothing, and
+    # rebuilding would clobber the live archive with an empty one
+    zip_root = root
+    while zip_root and not zip_root.lower().endswith(".zip"):
+        parent = os.path.dirname(zip_root)
+        if parent == zip_root:
+            zip_root = ""
+            break
+        zip_root = parent
+    if zip_root:
+        return zip_root
     dest_dir = dest_dir or tempfile.gettempdir()
     dest = os.path.join(dest_dir, "tesseract_glue_spark_pyfiles.zip")
     fd, tmp = tempfile.mkstemp(dir=dest_dir, suffix=".zip.tmp")
     os.close(fd)
     try:
+        n_files = 0
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for dirpath, _dirnames, filenames in os.walk(pkg_dir):
                 for fn in sorted(filenames):
@@ -38,6 +51,9 @@ def build_pyfiles_zip(dest_dir: str | None = None) -> str:
                         continue
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
+                    n_files += 1
+        if n_files == 0:
+            raise RuntimeError(f"refusing to ship an empty package zip from {pkg_dir}")
         os.replace(tmp, dest)
     except BaseException:
         if os.path.exists(tmp):
@@ -55,7 +71,14 @@ def ensure_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, _SHIPPED_ATTR, False):
         return
-    sc.addPyFile(build_pyfiles_zip())
+    try:
+        sc.addPyFile(build_pyfiles_zip())
+    except Exception:
+        # a zip of the same name was already registered — the usual
+        # cause is an explicit `spark-submit --py-files <zip>`, which
+        # means workers already have the package; if not, the job fails
+        # loudly at first UDF execution instead
+        pass
     setattr(sc, _SHIPPED_ATTR, True)
 
 

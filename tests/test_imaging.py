@@ -291,3 +291,32 @@ class TestDownloader:
 
         with _pytest.raises(ValueError, match="unknown"):
             fetch_language_pack("zzz", str(tmp_path), "http://x", opener=self._opener_for(b""))
+
+
+class TestShipping:
+    def test_zip_builds_nonempty(self, tmp_path):
+        import zipfile
+
+        from tesseract_glue_spark.sources.shipping import build_pyfiles_zip
+
+        z = build_pyfiles_zip(str(tmp_path))
+        names = zipfile.ZipFile(z).namelist()
+        assert "tesseract_glue_spark/__init__.py" in names
+        assert len(names) > 20
+
+    def test_zip_root_detected_when_running_from_zip(self, tmp_path, monkeypatch):
+        """REGRESSION: when the package is imported FROM a --py-files
+        zip, build_pyfiles_zip must return that zip, not overwrite it
+        with an empty archive (os.walk of a zip-internal path yields
+        nothing)."""
+        import tesseract_glue_spark
+        from tesseract_glue_spark.sources import shipping
+
+        fake_zip = tmp_path / "shipped.zip"
+        fake_zip.write_bytes(b"PK\x05\x06" + b"\x00" * 18)  # minimal empty zip
+        monkeypatch.setattr(
+            tesseract_glue_spark,
+            "__file__",
+            str(fake_zip / "tesseract_glue_spark" / "__init__.py"),
+        )
+        assert shipping.build_pyfiles_zip(str(tmp_path)) == str(fake_zip)
