@@ -114,9 +114,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tesseract_glue_spark.operators.registry import cached_shingles_runner
     from tesseract_glue_spark.operators.similarity import ann_topk_ivf
 
+    from tesseract_glue_spark.operators.pipeline_report import (
+        extract_quality_report_spark,
+    )
+
     # iterative k-means coarse quantizer — genuinely non-SQL-expressible,
     # so no oracle_sql entry (driver records the rows-only check)
     q["emb_ann_topk_ivf"] = ann_topk_ivf
+    # composed pipeline: extraction → quality scoring of extracted text
+    q["extract_quality_report"] = extract_quality_report_spark
 
     for name, (builder, tables) in _sql_ops().items():
         if name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
@@ -143,7 +149,12 @@ def oracle_sql() -> dict[str, str]:
     }
     from tesseract_glue_spark.operators.pages_meta import pages_metadata_oracle_sql
 
+    from tesseract_glue_spark.operators.pipeline_report import (
+        extract_quality_report_oracle_sql,
+    )
+
     o["pages_metadata"] = pages_metadata_oracle_sql()
+    o["extract_quality_report"] = extract_quality_report_oracle_sql()
     for name, (builder, _tables) in _sql_ops().items():
         o[name] = oracle(builder)
     return o
