@@ -125,7 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_quality_report"] = extract_quality_report_spark
 
     for name, (builder, tables) in _sql_ops().items():
-        if name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+        if name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs"):
             q[name] = cached_shingles_runner(builder, tables=tables)
         else:
             q[name] = spark_runner(builder, tables=tables)

@@ -42,7 +42,7 @@ def register(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
     }
     out: dict[str, Callable[[], int]] = {}
     for name, (builder, tables) in specs.items():
-        if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs"):
             runner = cached_shingles_runner(builder, tables=tables)
         else:
             runner = spark_runner(builder, tables=tables)

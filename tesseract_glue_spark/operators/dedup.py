@@ -234,7 +234,7 @@ def minhash_lsh_pairs_sql(
     """.strip()
 
 
-def simhash_sql(d: str, table: str = "documents") -> str:
+def simhash_sql(d: str, table: str = "documents", shingles_table: str | None = None) -> str:
     """32-bit SimHash per document: bit b is the sign of the sum of
     ±1 contributions from each shingle's base hash bit b. The base hash
     is computed once per shingle (hashes CTE), THEN exploded ×32 bits."""
@@ -243,7 +243,7 @@ def simhash_sql(d: str, table: str = "documents") -> str:
     seq = "sequence(0, 31)" if d == D.SPARK else "generate_series(0, 31)"
     shl_b = "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))" if d == D.SPARK else "(CAST(1 AS BIGINT) << b)"
     return f"""
-    WITH {_shingles_cte(d, table)},
+    WITH {_shingles_src(d, table, shingles_table)},
     {_hashes_cte(d)},
     bit_votes AS (
         SELECT doc_id, b, {bit_sum} AS vote
@@ -257,7 +257,7 @@ def simhash_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
-def simhash_pairs_sql(d: str, table: str = "documents") -> str:
+def simhash_pairs_sql(d: str, table: str = "documents", shingles_table: str | None = None) -> str:
     """Near-dup pairs by SimHash: block on any equal 8-bit band, verify
     Hamming distance ≤ {HAMMING_MAX} via bit_count(xor)."""
     ham = D.bit_count(d, D.bitwise_xor(d, "a.simhash", "b.simhash"))
@@ -269,7 +269,7 @@ def simhash_pairs_sql(d: str, table: str = "documents") -> str:
         for k in range(4)
     )
     return f"""
-    WITH sh AS ({simhash_sql(d, table)}),
+    WITH sh AS ({simhash_sql(d, table, shingles_table)}),
     bands AS (
 {band_union}
     )
