@@ -69,7 +69,7 @@ def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 
 
 
 def run_stream_to_memory(
-    streamed: DataFrame, query_name: str, timeout_sec: int = 120
+    streamed: DataFrame, query_name: str, timeout_sec: int = 420
 ) -> None:
     """Drain an availableNow stream into an in-memory table (tests /
     smoke); production sinks are Iceberg/parquet ``writeStream`` with

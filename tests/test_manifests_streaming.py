@@ -207,7 +207,7 @@ class TestStreamingExtraction:
         q = extract_stream(
             read_documents_stream(spark, src), pages, out, ExtractionConfig(), n_buckets=4
         )
-        q.awaitTermination(180)
+        q.awaitTermination(420)
 
         from functools import reduce
 
@@ -229,7 +229,7 @@ class TestStreamingExtraction:
         q2 = extract_stream(
             read_documents_stream(spark, src), pages, out, ExtractionConfig(), n_buckets=4
         )
-        q2.awaitTermination(60)
+        q2.awaitTermination(300)
         assert len(globmod.glob(f"{out}/batch=*")) == n_batches
 
 
@@ -250,7 +250,7 @@ class TestStatefulStreaming:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        q.awaitTermination(420)
         # last snapshot per user (updates accumulate across batches)
         snap = spark.sql(
             """
