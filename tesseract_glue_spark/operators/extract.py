@@ -360,9 +360,15 @@ def extract_flat(
     docs: DataFrame, pages: DataFrame, config: ExtractionConfig | None = None
 ) -> DataFrame:
     """Flattened extraction output (one row per span) — the
-    oracle-comparable projection of :func:`extract_documents`."""
+    oracle-comparable projection of :func:`extract_documents`.
+
+    ``posexplode_outer`` so a document whose extracted span array is
+    empty/NULL still yields one placeholder row (NULL kind/offset) —
+    the flat projection upholds the same every-doc-survives guarantee
+    as :func:`explode_spans`; a plain explode silently drops such docs
+    from lineage accounting."""
     out = extract_documents(docs, pages, config)
-    return out.select("doc_id", F.posexplode("spans").alias("_p", "s")).select(
+    return out.select("doc_id", F.posexplode_outer("spans").alias("_p", "s")).select(
         "doc_id",
         F.col("s.offset").cast("long").alias("offset"),
         F.col("s.kind").alias("kind"),

@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="output dir (data/ + _manifests/)")
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--resume-granularity",
+        default="bucket",
+        choices=["bucket", "doc"],
+        help="bucket: skip manifested buckets (default); doc: also anti-join "
+        "already-written doc_ids and append instead of overwrite",
+    )
     ap.add_argument("--lang", default="eng")
     ap.add_argument("--backend", default="stub", choices=["stub", "tesseract"])
     ap.add_argument("--tessdata", default=None)
@@ -57,8 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     ).validated()  # fail-fast BEFORE any job is submitted (reader.py:19-32)
 
     docs = read_documents(spark, args.input)
+    write_mode = "overwrite"
     if args.resume:
-        docs = M.resume_filter(docs, args.output, n_buckets=args.buckets)
+        docs = M.resume_filter(
+            docs, args.output, n_buckets=args.buckets, granularity=args.resume_granularity
+        )
+        if args.resume_granularity == "doc":
+            write_mode = "append"
         if docs.isEmpty():
             print(json.dumps({"status": "nothing-to-do", "output": args.output}))
             return 0
@@ -66,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     out = extract_documents(docs, pages, cfg)
-    manifests = M.write_extracted(out, args.output, n_buckets=args.buckets)
+    manifests = M.write_extracted(out, args.output, n_buckets=args.buckets, mode=write_mode)
     wall = time.perf_counter() - t0
 
     n_docs = sum(m["n_docs"] for m in manifests.values())

@@ -56,26 +56,43 @@ def _atomic_write_json(path: str, payload: dict) -> None:
         raise
 
 
-def write_extracted(extracted: DataFrame, out_dir: str, n_buckets: int = 16) -> dict:
+def write_extracted(
+    extracted: DataFrame, out_dir: str, n_buckets: int = 16, mode: str = "overwrite"
+) -> dict:
     """Write extraction output partitioned by doc-hash bucket, then emit
     one lineage manifest per bucket (counts, metric sums, order-
     insensitive content hash, engine/codec versions).
 
     The manifest aggregation is computed distributed (one groupBy over
     small columns); only the N-row summary is collected to the driver.
+    Stats are aggregated from the JUST-WRITTEN parquet, not from the
+    input DataFrame: a second action on the uncached extraction frame
+    would re-execute the whole pipeline — including the dominant OCR
+    mapInPandas stage — once more per run. Reading back also makes the
+    manifest describe exactly what is durably on disk (including rows
+    from prior runs after an append-mode doc-level resume).
     """
     df = with_bucket(extracted, n_buckets)
-    # dynamic partition overwrite: replace ONLY the buckets present in
-    # this write. Static overwrite deletes the whole data dir first —
-    # on a resume run that silently destroys every previously-completed
-    # bucket while its manifest still claims done (found by driving the
-    # corrupt-one-manifest resume path end-to-end).
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, DATA_DIR))
-    )
+    data_dir = os.path.join(out_dir, DATA_DIR)
+    if mode == "append":
+        # doc-level resume path: the frame holds only the missing docs of
+        # partially-written buckets — dynamic overwrite would REPLACE each
+        # touched bucket partition with just those docs, destroying the
+        # rows that survived the crash. Append is safe against double
+        # writes because a failed job commits no visible files.
+        df.write.mode("append").partitionBy("bucket").parquet(data_dir)
+    else:
+        # dynamic partition overwrite: replace ONLY the buckets present in
+        # this write. Static overwrite deletes the whole data dir first —
+        # on a resume run that silently destroys every previously-completed
+        # bucket while its manifest still claims done (found by driving the
+        # corrupt-one-manifest resume path end-to-end).
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(data_dir)
+        )
 
     # bound each row hash to 2^31 before summing: SUM over full-range
     # 64-bit hashes overflows BIGINT under ANSI mode; the truncated sum
@@ -83,8 +100,11 @@ def write_extracted(extracted: DataFrame, out_dir: str, n_buckets: int = 16) -> 
     row_hash = F.pmod(
         F.xxhash64("doc_id", "status", "ocr_pages", "ocr_empty_pages"), F.lit(1 << 31)
     )
+    written = extracted.sparkSession.read.parquet(data_dir).select(
+        "bucket", "doc_id", "status", "ocr_pages", "ocr_empty_pages"
+    )
     stats = (
-        df.groupBy("bucket")
+        written.groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("ocr_pages").alias("n_pages"),
@@ -129,12 +149,36 @@ def done_buckets(out_dir: str) -> set[int]:
     return done
 
 
-def resume_filter(docs: DataFrame, out_dir: str, n_buckets: int = 16) -> DataFrame:
-    """Documents still to process: drop every doc whose bucket has a
-    valid manifest. Bucket-granular resume — no per-doc anti-join and
-    no scan of prior output needed."""
+def resume_filter(
+    docs: DataFrame, out_dir: str, n_buckets: int = 16, granularity: str = "bucket"
+) -> DataFrame:
+    """Documents still to process after a crash.
+
+    ``granularity='bucket'`` (default): drop every doc whose bucket has a
+    valid manifest — no per-doc anti-join, no scan of prior output. One
+    bad/missing manifest re-runs its whole bucket.
+
+    ``granularity='doc'``: additionally anti-join against the doc_ids
+    already durably written in NOT-yet-manifested buckets, so a crash
+    mid-run re-processes only genuinely missing documents (worth the
+    extra shuffle when per-doc OCR cost dominates). Partition pruning
+    keeps the read-back scan to the incomplete buckets only. Pair with
+    ``write_extracted(..., mode='append')`` — dynamic overwrite would
+    clobber the surviving rows of a partially-written bucket."""
     done = done_buckets(out_dir)
-    if not done:
-        return docs
     bucketed = with_bucket(docs, n_buckets)
-    return bucketed.where(~F.col("bucket").isin(sorted(done))).drop("bucket")
+    if done:
+        bucketed = bucketed.where(~F.col("bucket").isin(sorted(done)))
+    if granularity == "doc":
+        data_dir = os.path.join(out_dir, DATA_DIR)
+        if os.path.isdir(data_dir):
+            written = docs.sparkSession.read.parquet(data_dir).select("doc_id", "bucket")
+            if done:
+                # partition-pruned: only incomplete buckets are scanned
+                written = written.where(~F.col("bucket").isin(sorted(done)))
+            bucketed = bucketed.join(
+                written.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+    elif not done:
+        return docs
+    return bucketed.drop("bucket")

@@ -33,6 +33,13 @@ def _update_user_state(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    if state.hasTimedOut:
+        # idle-timeout invocation: no input rows for this key. Drop the
+        # state (the whole point of the timeout — otherwise state grows
+        # unboundedly in a long-running stream) and emit nothing; do NOT
+        # update/re-arm, which would pin the key alive forever.
+        state.remove()
+        return
     n, total = 0, 0
     last_ts = None
     for pdf in pdfs:
@@ -41,7 +48,9 @@ def _update_user_state(
         ts_max = pdf["ts"].max()
         last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
     if state.exists:
-        prev_n, prev_total, _prev_ts = state.get
+        prev_n, prev_total, prev_ts = state.get
+        if last_ts is None or (prev_ts is not None and prev_ts > last_ts):
+            last_ts = prev_ts  # never regress the last-seen timestamp
     else:
         prev_n, prev_total = 0, 0
     new_n, new_total = prev_n + n, prev_total + total

@@ -216,6 +216,21 @@ class TestEdgeDocs:
             assert r["ocr_pages"] == 0 and r["ocr_empty_pages"] == 0
             assert r["status"] == "ok"
 
+    def test_empty_docs_survive_flat_projection(self, spark, pages):
+        """REGRESSION (round-1 advice): extract_flat used a non-outer
+        posexplode, silently dropping zero-span docs from the flattened
+        output — they must appear as a single NULL-kind placeholder row."""
+        from tesseract_glue_spark.fixtures import DOCUMENTS_SCHEMA
+
+        docs = spark.createDataFrame(
+            [(900001, []), (900002, None)], schema=DOCUMENTS_SCHEMA
+        )
+        flat = extract.extract_flat(docs, pages, ExtractionConfig())
+        rows = flat.collect()
+        assert {r["doc_id"] for r in rows} == {900001, 900002}
+        assert len(rows) == 2
+        assert all(r["kind"] is None and r["offset"] is None for r in rows)
+
 
 class TestOcrMetrics:
     def test_partition_metrics(self, spark, docs, pages):

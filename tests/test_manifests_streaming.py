@@ -51,6 +51,42 @@ class TestManifestsResume:
         expected = bucketed.where(F.col("bucket") == victim).count()
         assert todo.count() == expected > 0
 
+    def test_doc_level_resume_processes_only_missing_docs(
+        self, spark, extracted, tmp_path
+    ):
+        """Crash mid-run (data written, manifests not yet): doc-granular
+        resume must re-process ONLY the missing docs, append them without
+        clobbering the surviving rows, and end with manifests that
+        describe the complete corpus."""
+        from tesseract_glue_spark.sources import manifests as M
+
+        out = str(tmp_path / "out_doc")
+        half = extracted.where(F.col("doc_id") % 2 == 0)
+        M.write_extracted(half, out, n_buckets=4)
+        # simulate crash-before-manifests: data is durable, manifests gone
+        for fn in os.listdir(os.path.join(out, M.MANIFEST_DIR)):
+            os.unlink(os.path.join(out, M.MANIFEST_DIR, fn))
+
+        todo = M.resume_filter(extracted, out, n_buckets=4, granularity="doc")
+        missing = extracted.where(F.col("doc_id") % 2 == 1)
+        assert todo.count() == missing.count() > 0
+        assert {r["doc_id"] for r in todo.select("doc_id").collect()} == {
+            r["doc_id"] for r in missing.select("doc_id").collect()
+        }
+
+        m = M.write_extracted(todo, out, n_buckets=4, mode="append")
+        data = spark.read.parquet(os.path.join(out, M.DATA_DIR))
+        assert data.count() == extracted.count()  # complete, no duplicates
+        assert data.select("doc_id").distinct().count() == extracted.count()
+        # read-back manifests describe the FULL buckets, not just this run
+        assert sum(v["n_docs"] for v in m.values()) == extracted.count()
+        # bucket-level resume now sees everything done
+        assert M.resume_filter(extracted, out, n_buckets=4).count() == 0
+        # ... and doc-level too
+        assert (
+            M.resume_filter(extracted, out, n_buckets=4, granularity="doc").count() == 0
+        )
+
     def test_manifest_atomic_write(self, tmp_path):
         from tesseract_glue_spark.sources.manifests import _atomic_write_json
 
@@ -268,6 +304,64 @@ class TestStatefulStreaming:
         ).collect()
         want = {r["user_id"]: (r["n"], r["s"]) for r in want_rows}
         assert got == want
+
+
+class TestStatefulTimeout:
+    """Hermetic handler-contract tests for the stateful operator (the
+    timeout path can't be driven deterministically through a real
+    processing-time stream)."""
+
+    class _FakeState:
+        def __init__(self, has_timed_out=False, value=None):
+            self.hasTimedOut = has_timed_out
+            self._value = value
+            self.removed = False
+            self.updated = None
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._value is not None
+
+        @property
+        def get(self):
+            return self._value
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    def test_timeout_removes_state_and_emits_nothing(self):
+        """REGRESSION (round-1 advice): a ProcessingTimeTimeout invocation
+        must remove the state — not overwrite last_ts with None, re-arm
+        the timeout, and emit a spurious zero row (unbounded state)."""
+        from tesseract_glue_spark.streaming.stateful import _update_user_state
+
+        st = self._FakeState(has_timed_out=True, value=(5, 1000, None))
+        out = list(_update_user_state((42,), iter([]), st))
+        assert out == []
+        assert st.removed
+        assert st.updated is None and st.timeout_ms is None
+
+    def test_last_ts_never_regresses(self):
+        import pandas as pd
+
+        from tesseract_glue_spark.streaming.stateful import _update_user_state
+
+        newer = pd.Timestamp("2024-06-01 12:00:00")
+        older = pd.Timestamp("2024-01-01 00:00:00")
+        st = self._FakeState(value=(2, 500, newer))
+        batch = pd.DataFrame({"value": [1.0], "ts": [older]})
+        rows = list(_update_user_state((7,), iter([batch]), st))
+        assert len(rows) == 1
+        n, total, last_ts = st.updated
+        assert (n, total) == (3, 600)
+        assert last_ts == newer  # late-arriving old event must not regress it
 
 
 class TestIvfAnn:
