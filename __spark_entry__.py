@@ -118,8 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         extract_quality_report_spark,
     )
 
-    # iterative k-means coarse quantizer — genuinely non-SQL-expressible,
-    # so no oracle_sql entry (driver records the rows-only check)
+    # IVF k-means coarse quantizer: Spark side runs the shared SQL
+    # templates stepwise (materialized centroid steps); the oracle is
+    # the same templates unrolled into one DuckDB statement
     q["emb_ann_topk_ivf"] = ann_topk_ivf
     # composed pipeline: extraction → quality scoring of extracted text
     q["extract_quality_report"] = extract_quality_report_spark
@@ -155,6 +156,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["pages_metadata"] = pages_metadata_oracle_sql()
     o["extract_quality_report"] = extract_quality_report_oracle_sql()
+    from tesseract_glue_spark.operators.similarity import ann_topk_ivf_oracle_sql
+
+    o["emb_ann_topk_ivf"] = ann_topk_ivf_oracle_sql()
     for name, (builder, _tables) in _sql_ops().items():
         o[name] = oracle(builder)
     return o

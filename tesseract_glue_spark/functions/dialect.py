@@ -85,6 +85,21 @@ def str_hash64(d: str, expr: str) -> str:
     return hex_prefix_to_bigint(d, md5_hex(d, expr))
 
 
+def hex_prefix60_to_bigint(d: str, expr: str) -> str:
+    """First 15 hex chars of an md5 → BIGINT in [0, 2^60). 16 chars
+    would overflow signed BIGINT (2^64-1); 15 keeps the value positive
+    so right-shifts behave identically in both engines."""
+    if d == SPARK:
+        return f"CAST(conv(substring({expr}, 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', substr({expr}, 1, 15)) AS BIGINT)"
+
+
+def str_hash60(d: str, expr: str) -> str:
+    """Deterministic 60-bit integer hash of a string expression, equal
+    across engines — the SimHash base (wide enough for 4×15-bit bands)."""
+    return hex_prefix60_to_bigint(d, md5_hex(d, expr))
+
+
 def word_set_count(d: str, col: str, words: tuple[str, ...]) -> str:
     """Count tokens of ``col`` (lowered, split on non-alphanumerics)
     that are in ``words`` — the boundary-semantics-free replacement for

@@ -23,4 +23,13 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
     (_rng.randrange(1, 1 << 30), _rng.randrange(0, MINHASH_P)) for _ in range(MINHASH_K)
 ]
 
-SIMHASH_BITS = 32
+# SimHash geometry: 60-bit fingerprint (md5 15-hex-char base hash stays
+# inside signed BIGINT) banded 4×15. Pigeonhole: Hamming ≤ 3 over 4 bands
+# guarantees ≥1 identical band, so banding loses no true pair at the
+# HAMMING_MAX=3 threshold. 15-bit band keys give 32768 values/band —
+# the candidate self-join fan-out per band bucket is n/32768, vs n/256
+# for the 8-bit bands of a 32-bit simhash (which degenerates to ~O(n²)
+# at corpus scale).
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS

@@ -199,6 +199,26 @@ class TestSqlOperatorParity:
         for name, (b, tabs) in RELATIONAL_OPS.items():
             assert self._check(spark, duck, b, tabs) > 0, name
 
+    def test_neardup_lsh_subset_and_recall(self, spark):
+        """The LSH near-dup pair source must emit ONLY true pairs (exact
+        verification ⇒ subset of brute force) at usable recall — it is
+        the production source for the dedup keep-list."""
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.similarity import (
+            cosine_neardup_lsh_sql,
+            cosine_neardup_pairs_sql,
+        )
+
+        brute = spark_runner(cosine_neardup_pairs_sql, tables=("embeddings",))(
+            spark, SF_DIR).toPandas()
+        lsh = spark_runner(cosine_neardup_lsh_sql, tables=("embeddings",))(
+            spark, SF_DIR).toPandas()
+        b = {(r.vec_a, r.vec_b) for r in brute.itertuples()}
+        l = {(r.vec_a, r.vec_b) for r in lsh.itertuples()}
+        assert l <= b, "LSH emitted a pair below the cosine threshold"
+        recall = len(l) / len(b)
+        assert recall > 0.4, f"near-dup LSH recall collapsed: {recall}"
+
     def test_lsh_recall_vs_bruteforce(self, spark):
         """ANN-LSH is approximate: measure its top-k recall against the
         exact baseline (sanity bound only — random embeddings give LSH
