@@ -102,7 +102,11 @@ def _sql_ops() -> dict[str, tuple]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tesseract_glue_spark.operators.registry import spark_runner
 
-    from tesseract_glue_spark.operators.pages_meta import pages_metadata_spark
+    from tesseract_glue_spark.operators.pages_meta import (
+        image_pixel_stats_spark,
+        image_resize_dims_spark,
+        pages_metadata_spark,
+    )
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_full_flat": _extracted_flat,
@@ -110,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_spans": _explode_spans,
         "media_dedup": _media_dedup,
         "pages_metadata": pages_metadata_spark,
+        "image_resize_dims": image_resize_dims_spark,
+        "image_pixel_stats": image_pixel_stats_spark,
     }
     from tesseract_glue_spark.operators.registry import cached_shingles_runner
     from tesseract_glue_spark.operators.similarity import ann_topk_ivf
@@ -148,13 +154,19 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({flat}) WHERE kind = 'media' AND media_ref <> '' GROUP BY media_ref"
         ),
     }
-    from tesseract_glue_spark.operators.pages_meta import pages_metadata_oracle_sql
+    from tesseract_glue_spark.operators.pages_meta import (
+        image_pixel_stats_oracle_sql,
+        image_resize_dims_oracle_sql,
+        pages_metadata_oracle_sql,
+    )
 
     from tesseract_glue_spark.operators.pipeline_report import (
         extract_quality_report_oracle_sql,
     )
 
     o["pages_metadata"] = pages_metadata_oracle_sql()
+    o["image_resize_dims"] = image_resize_dims_oracle_sql()
+    o["image_pixel_stats"] = image_pixel_stats_oracle_sql()
     o["extract_quality_report"] = extract_quality_report_oracle_sql()
     from tesseract_glue_spark.operators.similarity import ann_topk_ivf_oracle_sql
 

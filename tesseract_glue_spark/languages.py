@@ -23,6 +23,7 @@ __all__ = [
     "stage_asset",
     "download_asset",
     "fetch_language_pack",
+    "fetch_language_bundle",
 ]
 
 _PAIRS: tuple[tuple[str, str], ...] = (
@@ -162,3 +163,41 @@ def fetch_language_pack(
     validate_language(lang)
     dest = os.path.join(destination_dir, f"{lang}.traineddata")
     return download_asset(f"{base_url.rstrip('/')}/{lang}.traineddata", dest, md5_hash, opener=opener)
+
+
+def fetch_language_bundle(
+    url: str,
+    destination_dir: str,
+    md5_hash: str | None = None,
+    opener=None,
+) -> list[str]:
+    """Fetch a versioned tessdata ZIP bundle and extract every member
+    into ``destination_dir`` — the multi-language provisioning path
+    (``download_language_pack``'s zip download+extract-all, reference
+    ``languages.py:270-293``), built on the same hash-verified atomic
+    downloader as single-file fetches.
+
+    Each member is staged with the verify-then-atomic-rename discipline
+    (``stage_asset``), so a crash mid-extract never leaves a truncated
+    ``.traineddata`` that Tesseract would choke on. Member paths are
+    flattened to basenames and ``..``/absolute names are rejected (zip
+    path traversal). Returns the extracted file paths, sorted.
+
+    Driver-side only: fetch once, then ship to executors via
+    ``SparkContext.addFile`` — tasks never download."""
+    import zipfile
+
+    os.makedirs(destination_dir, exist_ok=True)
+    bundle = os.path.join(destination_dir, "_bundle_" + os.path.basename(url))
+    download_asset(url, bundle, md5_hash, opener=opener)
+    out: list[str] = []
+    with zipfile.ZipFile(bundle) as zf:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            name = os.path.basename(info.filename)
+            if not name or info.filename.startswith(("/", "..")) or ".." in info.filename:
+                raise ValueError(f"unsafe member path in bundle: {info.filename!r}")
+            out.append(stage_asset(zf.read(info), os.path.join(destination_dir, name)))
+    os.unlink(bundle)
+    return sorted(out)

@@ -154,6 +154,54 @@ def image_resize(pages: DataFrame, max_side: int = 64) -> DataFrame:
     )
 
 
+IMAGE_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_nonwhite", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def image_pixel_stats(pages: DataFrame) -> DataFrame:
+    """Full-decode pixel statistics per page: dims, non-white pixel
+    count, intensity sum — the cheap corpus-corruption screen (a page
+    whose stats drift from expectation was mis-rendered or bit-rotted).
+
+    Unlike :func:`image_metadata` (header-only) this decodes every
+    pixel, so it value-checks the renderer + PNG codec end-to-end: on
+    the blank-page subset the expected stats are closed-form derivable
+    from the fixture contract (see ``pages_meta.image_pixel_stats_*``)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, img in zip(pdf["media_ref"], pdf["image"]):
+                try:
+                    gray = kernels.to_grayscale(decode_png(bytes(img)))
+                except Exception:
+                    continue
+                h, w = gray.shape
+                rows.append(
+                    (
+                        ref,
+                        int(w),
+                        int(h),
+                        int((gray != 255).sum()),
+                        int(gray.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_PIXEL_STATS_SCHEMA.fields]
+            )
+
+    return _fan_out(pages.select("media_ref", "image")).mapInPandas(
+        stats, schema=IMAGE_PIXEL_STATS_SCHEMA
+    )
+
+
 def _fake_floats(seed: str, n: int, scale: float = 1.0) -> list[float]:
     out = []
     h = seed.encode()

@@ -33,18 +33,22 @@ def pages_metadata_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pages_metadata_oracle_sql(table: str = "documents") -> str:
-    """DuckDB-side dims from the contract (no pixels involved)."""
-    d = D.DUCKDB
-    n = truth.media_num_expr(d)
-    # raw payload length: n%14=0 → 0; other blanks → 4 (' \t  ');
-    # else length of the truth text
+def _raw_len_expr(d: str, n: str) -> str:
+    """UTF-8 byte length of the pixel-embedded payload for media id n:
+    n%14=0 → 0; other blanks → 4 (' \\t  '); else len(truth text)."""
     tt = truth.truth_text_expr(n, d)
-    raw_len = (
+    return (
         f"(CASE WHEN {n} % 14 = 0 THEN 0 "
         f"WHEN {n} % 7 = 0 THEN 4 "
         f"ELSE length({tt}) END)"
     )
+
+
+def pages_metadata_oracle_sql(table: str = "documents") -> str:
+    """DuckDB-side dims from the contract (no pixels involved)."""
+    d = D.DUCKDB
+    n = truth.media_num_expr(d)
+    raw_len = _raw_len_expr(d, n)
     ref = truth.media_ref_expr(d)
     return f"""
     SELECT DISTINCT {ref} AS media_ref,
@@ -53,4 +57,91 @@ def pages_metadata_oracle_sql(table: str = "documents") -> str:
            'ok' AS status
     FROM {table}, unnest(generate_series(0, 2 * {truth.N_MEDIA})) AS _t(o)
     WHERE o % 2 = 1 AND NOT ({n} % 13 = 0 AND {n} % 7 <> 0)
+    """.strip()
+
+
+RESIZE_MAX_SIDE = 64
+
+
+def image_resize_dims_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every real page (real decode → stride downsample →
+    re-encode) and emit the thumbnail geometry."""
+    from pyspark.sql import functions as F
+
+    from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+    from tesseract_glue_spark.operators.multimodal import image_resize
+
+    pages = pages_for(interleaved_documents(spark, sf_dir))
+    return image_resize(pages, max_side=RESIZE_MAX_SIDE).select(
+        "media_ref",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+def image_resize_dims_oracle_sql(table: str = "documents") -> str:
+    """Thumbnail geometry from the contract: the nearest-neighbor stride
+    is ``ceil(max(w,h)/max_side)`` and each output dim is ``ceil(dim/
+    stride)`` — pure integer arithmetic (all operands positive, so
+    truncating division + the +k-1 trick is exact ceil in both engines)."""
+    d = D.DUCKDB
+    n = truth.media_num_expr(d)
+    raw_len = _raw_len_expr(d, n)
+    ref = truth.media_ref_expr(d)
+    m = RESIZE_MAX_SIDE
+    w = f"greatest(240, {raw_len} + 16)"
+    h = f"(160 + ({n} % 4) * 40)"
+    step = f"greatest(1, (greatest({w}, {h}) + {m - 1}) // {m})"
+    return f"""
+    SELECT DISTINCT media_ref,
+           CAST((w + step - 1) // step AS BIGINT) AS width,
+           CAST((h + step - 1) // step AS BIGINT) AS height
+    FROM (
+        SELECT {ref} AS media_ref, {w} AS w, {h} AS h, {step} AS step
+        FROM {table}, unnest(generate_series(0, 2 * {truth.N_MEDIA})) AS _t(o)
+        WHERE o % 2 = 1 AND NOT ({n} % 13 = 0 AND {n} % 7 <> 0)
+    ) g
+    """.strip()
+
+
+def image_pixel_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pixel decode + stats, restricted to the BLANK-page subset
+    (media id % 7 = 0) where the contract derives the exact non-white
+    count and intensity sum: a blank page is 255-white except the
+    payload stream ``b'TG' + len(4B BE) + payload`` in row 0. The full
+    corpus runs through the same kernel in pytest (``test_multimodal``);
+    this is the oracle-checkable slice — it value-checks renderer, PNG
+    codec, and the stats kernel bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+    from tesseract_glue_spark.operators.multimodal import image_pixel_stats
+
+    pages = pages_for(interleaved_documents(spark, sf_dir))
+    n = F.substring("media_ref", 5, 8).cast("int")
+    return image_pixel_stats(pages).where(n % 7 == 0)
+
+
+def image_pixel_stats_oracle_sql(table: str = "documents") -> str:
+    """Blank-page pixel stats in closed form. Stream bytes: 'T'=84,
+    'G'=71, 4 length bytes, then the payload (n%14=0 → empty; else
+    ' \\t  ' = 32+9+32+32). All stream bytes ≠ 255, everything else is
+    255, so n_nonwhite = 6 + raw_len and px_sum = 255·w·h − deficit
+    where deficit = 255·n_nonwhite − stream_sum."""
+    d = D.DUCKDB
+    n = truth.media_num_expr(d)
+    ref = truth.media_ref_expr(d)
+    # n%14=0: stream sum 84+71 = 155, 6 bytes; else +4 (len byte) + 105
+    # (whitespace payload) = 264 over 10 bytes
+    nonwhite = f"(CASE WHEN {n} % 14 = 0 THEN 6 ELSE 10 END)"
+    deficit = f"(CASE WHEN {n} % 14 = 0 THEN {6 * 255 - 155} ELSE {10 * 255 - 264} END)"
+    h = f"(160 + ({n} % 4) * 40)"
+    return f"""
+    SELECT DISTINCT {ref} AS media_ref,
+           CAST(240 AS BIGINT) AS width,
+           CAST({h} AS BIGINT) AS height,
+           CAST({nonwhite} AS BIGINT) AS n_nonwhite,
+           CAST(255 * 240 * {h} - {deficit} AS BIGINT) AS px_sum
+    FROM {table}, unnest(generate_series(0, 2 * {truth.N_MEDIA})) AS _t(o)
+    WHERE o % 2 = 1 AND {n} % 7 = 0
     """.strip()

@@ -52,3 +52,11 @@ def test_queries_match_oracles(spark, duck):
         assert list(got.columns) == list(want.columns), name
         assert len(got) == len(want), name
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+        # strict driver-style value hash: catches dtype drift (e.g. a
+        # DuckDB SUM left un-CAST → HUGEINT → float64 '5.0' vs '5')
+        # that check_dtype=False silently forgives
+        from tests.conftest import canonical_csv
+
+        assert canonical_csv(got) == canonical_csv(want), (
+            f"{name}: value-hash mismatch (dtype drift?)"
+        )

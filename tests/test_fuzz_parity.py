@@ -55,10 +55,15 @@ def _norm_frame(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _check(spark, duck, builder, fuzz_dir, name):
     from tesseract_glue_spark.operators.registry import oracle, spark_runner
+    from tests.conftest import canonical_csv
 
     got = _norm_frame(spark_runner(builder)(spark, fuzz_dir).toPandas())
     want = _norm_frame(duck.sql(oracle(builder)).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+    # strict driver-style value hash (catches dtype drift, see conftest)
+    assert canonical_csv(got) == canonical_csv(want), (
+        f"{name}: value-hash mismatch (dtype drift?)"
+    )
 
 
 def test_text_ops_on_adversarial_input(spark, fuzz_dir, fuzz_duck):

@@ -292,6 +292,152 @@ class TestDownloader:
         with _pytest.raises(ValueError, match="unknown"):
             fetch_language_pack("zzz", str(tmp_path), "http://x", opener=self._opener_for(b""))
 
+    @staticmethod
+    def _bundle_zip(members: dict[str, bytes]) -> bytes:
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for name, data in members.items():
+                zf.writestr(name, data)
+        return buf.getvalue()
+
+    def test_fetch_language_bundle_extracts_all(self, tmp_path):
+        """The zip-bundle provisioning path (reference
+        languages.py:270-293): hash-verified download + extract-all with
+        atomic member staging."""
+        import hashlib
+        import os
+
+        from tesseract_glue_spark.languages import fetch_language_bundle
+
+        members = {
+            "tessdata/eng.traineddata": b"eng-model" * 100,
+            "tessdata/deu.traineddata": b"deu-model" * 100,
+            "tessdata/osd.traineddata": b"osd-model" * 100,
+        }
+        payload = self._bundle_zip(members)
+        md5 = hashlib.md5(payload).hexdigest()
+        out = fetch_language_bundle(
+            "http://x/tessdata-4.1.0.zip", str(tmp_path), md5,
+            opener=self._opener_for(payload),
+        )
+        assert [os.path.basename(p) for p in out] == [
+            "deu.traineddata", "eng.traineddata", "osd.traineddata"
+        ]
+        for p in out:
+            assert open(p, "rb").read() == members[f"tessdata/{os.path.basename(p)}"]
+        # no leftover bundle archive or temp files
+        leftovers = [f for f in os.listdir(tmp_path) if f.endswith((".tmp", ".zip"))]
+        assert leftovers == []
+
+    def test_fetch_language_bundle_rejects_traversal(self, tmp_path):
+        import hashlib
+
+        import pytest as _pytest
+
+        from tesseract_glue_spark.languages import fetch_language_bundle
+
+        payload = self._bundle_zip({"../evil.traineddata": b"x"})
+        with _pytest.raises(ValueError, match="unsafe member"):
+            fetch_language_bundle(
+                "http://x/evil.zip", str(tmp_path),
+                hashlib.md5(payload).hexdigest(),
+                opener=self._opener_for(payload),
+            )
+
+    def test_fetch_language_bundle_hash_mismatch(self, tmp_path):
+        import pytest as _pytest
+
+        from tesseract_glue_spark.languages import fetch_language_bundle
+
+        payload = self._bundle_zip({"eng.traineddata": b"x"})
+        with _pytest.raises(ValueError, match="hash mismatch"):
+            fetch_language_bundle(
+                "http://x/b.zip", str(tmp_path), "0" * 32,
+                opener=self._opener_for(payload),
+            )
+
+
+class TestTesseractBackendContract:
+    """Mocked-pytesseract contract tests (the binary is absent in this
+    environment): PSM flag, lang pass-through, whitespace normalization,
+    version string — mirroring reference tests/test_reader.py:26-45."""
+
+    class _FakePytesseract:
+        def __init__(self, text="hello world"):
+            self.text = text
+            self.calls = []
+
+        def image_to_string(self, image, lang=None, config=None):
+            self.calls.append({"lang": lang, "config": config, "shape": image.shape})
+            return self.text
+
+        def get_tesseract_version(self):
+            return "5.3.0"
+
+    def _backend(self, monkeypatch, fake, **cfg_kw):
+        import sys
+
+        from tesseract_glue_spark.config import ExtractionConfig
+        from tesseract_glue_spark.engine import TesseractBackend
+
+        monkeypatch.setitem(sys.modules, "pytesseract", fake)
+        return TesseractBackend(ExtractionConfig(backend="tesseract", **cfg_kw))
+
+    def test_psm_auto_osd_and_lang_passthrough(self, monkeypatch):
+        import numpy as np
+
+        fake = self._FakePytesseract("recognized text")
+        eng = self._backend(monkeypatch, fake, lang="deu")
+        out = eng.recognize(np.full((4, 4), 255, dtype=np.uint8))
+        assert out == "recognized text"
+        assert fake.calls == [{"lang": "deu", "config": "--psm 1", "shape": (4, 4)}]
+
+    def test_whitespace_output_normalizes_to_empty(self, monkeypatch):
+        import numpy as np
+
+        eng = self._backend(monkeypatch, self._FakePytesseract(" \t\n  "))
+        assert eng.recognize(np.zeros((2, 2), dtype=np.uint8)) == ""
+
+    def test_version_string(self, monkeypatch):
+        eng = self._backend(monkeypatch, self._FakePytesseract())
+        assert eng.version() == "tesseract-5.3.0"
+
+    def test_unhealthy_degrades_not_dies(self, monkeypatch):
+        import numpy as np
+
+        fake = self._FakePytesseract()
+        eng = self._backend(monkeypatch, fake, force_unhealthy=True)
+        assert eng.good is False
+        assert eng.recognize(np.zeros((2, 2), dtype=np.uint8)) == ""
+        assert fake.calls == []  # bad engine never invokes the binary
+
+    def test_import_gate_message(self, monkeypatch):
+        import sys
+
+        import pytest as _pytest
+
+        from tesseract_glue_spark.config import ExtractionConfig
+        from tesseract_glue_spark.engine import TesseractBackend
+
+        monkeypatch.setitem(sys.modules, "pytesseract", None)
+        with _pytest.raises(ImportError, match="pytesseract"):
+            TesseractBackend(ExtractionConfig(backend="tesseract"))
+
+    def test_get_engine_dispatches_tesseract(self, monkeypatch):
+        """get_engine must construct the real-OCR backend for
+        backend='tesseract' (cache keyed by full config)."""
+        import sys
+
+        from tesseract_glue_spark.config import ExtractionConfig
+        from tesseract_glue_spark.engine import TesseractBackend, get_engine
+
+        monkeypatch.setitem(sys.modules, "pytesseract", self._FakePytesseract())
+        eng = get_engine(ExtractionConfig(backend="tesseract", lang="fra"))
+        assert isinstance(eng, TesseractBackend)
+
 
 class TestShipping:
     def test_zip_builds_nonempty(self, tmp_path):
