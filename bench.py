@@ -27,7 +27,11 @@ def build_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("tesseract_glue_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # 2 shuffle tasks per core: exact-width shuffles (1 task/core)
+        # make every reduce stage wait on its slowest task, which costs
+        # most at the 4N side of the scaling measurement — AQE still
+        # coalesces genuinely small stages below this number
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -21,17 +21,21 @@ from tesseract_glue_spark.operators.relational import events_hourly_sql, pricing
 from tesseract_glue_spark.operators.similarity import (
     ann_topk_bruteforce_sql,
     ann_topk_lsh_sql,
+    cosine_neardup_lsh_sql,
 )
 from tesseract_glue_spark.operators.text import langid_sql, quality_sql
 
 
 def register(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
+    from tesseract_glue_spark.operators.similarity import ann_topk_ivf
+
     specs = {
         "dedup_minhash_lsh": (minhash_lsh_pairs_sql, ("documents",)),
         "dedup_ngram_jaccard": (ngram_jaccard_pairs_sql, ("documents",)),
         "dedup_simhash_pairs": (simhash_pairs_sql, ("documents",)),
         "ann_topk_brute": (ann_topk_bruteforce_sql, ("embeddings",)),
         "ann_topk_lsh": (ann_topk_lsh_sql, ("embeddings",)),
+        "emb_neardup_lsh": (cosine_neardup_lsh_sql, ("embeddings",)),
         "text_langid_quality": (
             lambda d, table="documents": f"SELECT q.doc_id, q.quality_score, l.lang_pred "
             f"FROM ({quality_sql(d)}) q JOIN ({langid_sql(d)}) l ON q.doc_id = l.doc_id",
@@ -47,4 +51,5 @@ def register(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
         else:
             runner = spark_runner(builder, tables=tables)
         out[name] = (lambda r=runner: r(spark, sf_dir).count())
+    out["ann_topk_ivf"] = lambda: ann_topk_ivf(spark, sf_dir).count()
     return out

@@ -161,6 +161,33 @@ class TestKernels:
         assert xy_cut(np.zeros((10, 10), dtype=bool)) == []
 
 
+class TestEngineFeatureScenario:
+    """Mirror of the reference's BDD scenario 'Uses an engine to read
+    the data' (tests/features/engine.feature:5-11 + step defs in
+    tests/test_engine_feature.py:8-53): Given an engine and a page,
+    When a reader recognizes it, Then the text is non-empty. Expressed
+    as plain pytest (same Given/When/Then structure, no pytest-bdd
+    dependency)."""
+
+    def test_engine_reads_the_data(self):
+        from tesseract_glue_spark.config import ExtractionConfig
+        from tesseract_glue_spark.engine import get_engine
+        from tesseract_glue_spark.imaging.kernels import to_grayscale
+        from tesseract_glue_spark.imaging.png import decode_png
+        from tesseract_glue_spark.imaging.render import render_page
+
+        # Given an engine configured for the default language
+        engine = get_engine(ExtractionConfig())
+        assert engine.good
+        # And a page image containing text
+        png, _w, _h, truth = render_page(3)  # n=3: plain text page
+        # When the reader recognizes the page
+        text = engine.recognize(to_grayscale(decode_png(png)))
+        # Then the recognized text is non-empty and matches the page
+        assert text != ""
+        assert text == truth
+
+
 class TestEngine:
     def test_stub_recognizes_rendered_pages(self):
         from tesseract_glue_spark.config import ExtractionConfig
