@@ -31,15 +31,19 @@ from tesseract_glue_spark import ExtractionConfig, extract_documents
 docs = spark.read.parquet({corpus_dir!r} + "/documents_spans")
 pages = spark.read.parquet({corpus_dir!r} + "/pages")
 cfg = ExtractionConfig()
-extract_documents(docs, pages, cfg).count()          # warmup (workers up)
+# warmup on a 10% slice: spins up Python workers, ships the zip, JITs
+# codegen — identical at both parallelism levels so the ratio is fair,
+# and it keeps the low-parallelism run inside the sandbox run budget
+extract_documents(docs.where("doc_id % 10 = 0"), pages, cfg).count()
 best = None
 for _ in range(2):
     t0 = time.perf_counter()
     n = extract_documents(docs, pages, cfg).count()
     dt = time.perf_counter() - t0
     best = dt if best is None else min(best, dt)
+load = open("/proc/loadavg").read().split()[0]
 print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_sec": round(best, 3),
-      "docs": n, "docs_per_sec": round(n / best, 1)}}))
+      "docs": n, "docs_per_sec": round(n / best, 1), "load_1m_after": float(load)}}))
 spark.stop()
 """
 
