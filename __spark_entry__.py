@@ -117,6 +117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_dims": image_resize_dims_spark,
         "image_pixel_stats": image_pixel_stats_spark,
     }
+    from tesseract_glue_spark.operators.multimodal import (
+        audio_features_fake_spark,
+        video_frames_fake_spark,
+    )
+
+    q["audio_features_fake"] = audio_features_fake_spark
+    q["video_frames_fake"] = video_frames_fake_spark
     from tesseract_glue_spark.operators.registry import cached_shingles_runner
     from tesseract_glue_spark.operators.similarity import ann_topk_ivf
 
@@ -167,6 +174,13 @@ def oracle_sql() -> dict[str, str]:
     o["pages_metadata"] = pages_metadata_oracle_sql()
     o["image_resize_dims"] = image_resize_dims_oracle_sql()
     o["image_pixel_stats"] = image_pixel_stats_oracle_sql()
+    from tesseract_glue_spark.operators.multimodal import (
+        audio_features_fake_oracle_sql,
+        video_frames_fake_oracle_sql,
+    )
+
+    o["audio_features_fake"] = audio_features_fake_oracle_sql()
+    o["video_frames_fake"] = video_frames_fake_oracle_sql()
     o["extract_quality_report"] = extract_quality_report_oracle_sql()
     from tesseract_glue_spark.operators.similarity import ann_topk_ivf_oracle_sql
 

@@ -74,6 +74,14 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
+    # ship the package to Python workers first: these kernels reference
+    # module globals, so cloudpickle serializes them BY REFERENCE and the
+    # worker must import tesseract_glue_spark — which only works from a
+    # repo-root cwd unless the zip is added (bug reproduces only when the
+    # driver cwd ≠ repo root, e.g. the round driver itself)
+    from tesseract_glue_spark.sources.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     n = 4 * df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
 
@@ -209,6 +217,68 @@ def _fake_floats(seed: str, n: int, scale: float = 1.0) -> list[float]:
         h = hashlib.md5(h).digest()
         out.extend((b / 255.0 - 0.5) * 2 * scale for b in h)
     return [float(round(x, 6)) for x in out[:n]]
+
+
+def synthetic_media_blobs(spark, sf_dir: str, prefix: str = "med") -> DataFrame:
+    """Deterministic opaque-binary media column derived from the
+    ``documents`` table (blob = UTF-8 bytes of the text) — the stand-in
+    corpus for the codec-less audio/video operators. Because the blob is
+    SQL-derivable, the md5-keyed fake features downstream get a real
+    DuckDB oracle (md5 of a string hashes its UTF-8 bytes in both
+    engines), so the distributed mapInPandas plumbing is value-checked
+    even while the decode step is stubbed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit(prefix + "_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.col("text").cast("binary").alias("image"),
+    )
+
+
+def audio_features_fake_spark(spark, sf_dir: str) -> DataFrame:
+    """Driver-gate query: fake-backend audio features over synthetic
+    blobs. mfcc (float array) is excluded from the oracled projection —
+    floats are banned from value-hash-compared outputs."""
+    media = synthetic_media_blobs(spark, sf_dir, prefix="aud")
+    return audio_features(media, backend="fake").select(
+        "media_ref", "duration_ms", "rms_x10k"
+    )
+
+
+def audio_features_fake_oracle_sql(table: str = "documents") -> str:
+    """dur = 1000 + int(md5_hex[:4], 16); rms = int(md5_hex[4:8], 16)
+    % 10000 — closed-form from the fake-backend contract."""
+    h = "md5(text)"
+    h1 = f"CAST(concat('0x', substr({h}, 1, 4)) AS BIGINT)"
+    h2 = f"CAST(concat('0x', substr({h}, 5, 4)) AS BIGINT)"
+    return f"""
+    SELECT concat('aud_', CAST(doc_id AS VARCHAR)) AS media_ref,
+           CAST(1000 + {h1} AS BIGINT) AS duration_ms,
+           CAST({h2} % 10000 AS BIGINT) AS rms_x10k
+    FROM {table}
+    """.strip()
+
+
+def video_frames_fake_spark(spark, sf_dir: str) -> DataFrame:
+    """Driver-gate query: fake-backend frame sampling over synthetic
+    blobs — checks the 1-row-in → k-rows-out fan-out shape end to end
+    (frame binaries excluded from the oracled projection)."""
+    media = synthetic_media_blobs(spark, sf_dir, prefix="vid")
+    return video_frame_sample(media, every_n=10, backend="fake").select(
+        "media_ref", F.col("frame_no").cast("long").alias("frame_no")
+    )
+
+
+def video_frames_fake_oracle_sql(table: str = "documents") -> str:
+    """n_frames = 1 + first_md5_byte % 3; frame_no = i*10 for
+    i < n_frames — the fan-out count is contract-derivable."""
+    b0 = "CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT)"
+    return f"""
+    SELECT concat('vid_', CAST(doc_id AS VARCHAR)) AS media_ref,
+           CAST(i * 10 AS BIGINT) AS frame_no
+    FROM (SELECT doc_id, 1 + {b0} % 3 AS n_frames FROM {table}) t,
+         unnest(generate_series(0, 2)) AS _f(i)
+    WHERE i < n_frames
+    """.strip()
 
 
 def audio_features(media: DataFrame, backend: str = "fake") -> DataFrame:

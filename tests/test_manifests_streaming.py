@@ -219,6 +219,27 @@ class TestSqlOperatorParity:
         recall = len(l) / len(b)
         assert recall > 0.4, f"near-dup LSH recall collapsed: {recall}"
 
+    def test_multi_table_lsh_recall_beats_single(self, spark):
+        """The multi-table ANN variant must recover a large multiple of
+        the single-table recall (union-of-L-tables candidate generation;
+        measured ~12× on the test corpus)."""
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.similarity import (
+            ann_topk_bruteforce_sql,
+            ann_topk_lsh_multi_sql,
+            ann_topk_lsh_sql,
+        )
+
+        def pairs(builder):
+            pdf = spark_runner(builder, tables=("embeddings",))(spark, SF_DIR).toPandas()
+            return {(r.query_id, r.neighbor_id) for r in pdf.itertuples()}
+
+        b = pairs(ann_topk_bruteforce_sql)
+        single = len(b & pairs(ann_topk_lsh_sql)) / len(b)
+        multi = len(b & pairs(ann_topk_lsh_multi_sql)) / len(b)
+        assert multi > 0.4, f"multi-table recall collapsed: {multi}"
+        assert multi > 3 * single, (multi, single)
+
     def test_lsh_recall_vs_bruteforce(self, spark):
         """ANN-LSH is approximate: measure its top-k recall against the
         exact baseline (sanity bound only — random embeddings give LSH
