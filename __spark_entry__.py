@@ -135,6 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # templates stepwise (materialized centroid steps); the oracle is
     # the same templates unrolled into one DuckDB statement
     q["emb_ann_topk_ivf"] = ann_topk_ivf
+    # connected components of the near-dup pair graph: stepwise label
+    # propagation on the Spark side, same templates unrolled for DuckDB
+    from tesseract_glue_spark.operators.dedup import dedup_components
+
+    q["dedup_components"] = dedup_components
     # composed pipeline: extraction → quality scoring of extracted text
     q["extract_quality_report"] = extract_quality_report_spark
 
@@ -185,6 +190,9 @@ def oracle_sql() -> dict[str, str]:
     from tesseract_glue_spark.operators.similarity import ann_topk_ivf_oracle_sql
 
     o["emb_ann_topk_ivf"] = ann_topk_ivf_oracle_sql()
+    from tesseract_glue_spark.operators.dedup import dedup_components_oracle_sql
+
+    o["dedup_components"] = dedup_components_oracle_sql()
     for name, (builder, _tables) in _sql_ops().items():
         o[name] = oracle(builder)
     return o

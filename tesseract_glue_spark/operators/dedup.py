@@ -324,6 +324,87 @@ def minhash_dedup_survivors_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
+CC_ROUNDS = 4  # hash-to-min rounds ≥ the dup-cluster graph diameter
+
+
+def _cc_init_sql(table: str) -> str:
+    return f"SELECT doc_id AS v, doc_id AS lbl FROM {table}"
+
+
+def _cc_round_sql(labels: str, edges: str) -> str:
+    """One hash-to-min round: every vertex takes the min label among
+    itself and its neighbors. Dialect-independent SQL."""
+    return f"""
+    SELECT v, MIN(lbl) AS lbl FROM (
+        SELECT v, lbl FROM {labels}
+        UNION ALL
+        SELECT e.doc_a AS v, l.lbl FROM {edges} e JOIN {labels} l ON l.v = e.doc_b
+        UNION ALL
+        SELECT e.doc_b AS v, l.lbl FROM {edges} e JOIN {labels} l ON l.v = e.doc_a
+    ) u GROUP BY v
+    """.strip()
+
+
+def _cc_final_sql(labels: str) -> str:
+    return f"SELECT v AS doc_id, lbl AS component FROM {labels}"
+
+
+def dedup_components_oracle_sql(
+    d: str = D.DUCKDB, table: str = "documents", rounds: int = CC_ROUNDS
+) -> str:
+    """Near-dup cluster ids (connected components of the verified
+    MinHash-LSH pair graph) as ONE unrolled SQL statement — the DuckDB
+    oracle for :func:`dedup_components`.
+
+    Semantics: exactly ``rounds`` hash-to-min label-propagation rounds,
+    i.e. each vertex's label is the min doc_id within ``rounds`` hops.
+    Dup clusters are near-cliques (diameter ≲ 2), so {CC_ROUNDS} rounds
+    reach the true components; tests assert the fixpoint. Scale shape:
+    each round is one groupBy(v) shuffle plus two edge joins — the
+    bounded-diameter variant of large-scale connected components (the
+    large-star/small-star family needs ~log n rounds for adversarial
+    graphs, which dup clusters are not)."""
+    parts = [
+        f"pairs AS ({minhash_lsh_pairs_sql(d, table)})",
+        f"l0 AS ({_cc_init_sql(table)})",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"l{t} AS ({_cc_round_sql(f'l{t - 1}', 'pairs')})")
+    return "WITH " + ",\n    ".join(parts) + f"\n    {_cc_final_sql(f'l{rounds}')}"
+
+
+def dedup_components(spark, sf_dir: str, table: str = "documents", rounds: int = CC_ROUNDS):
+    """Spark side of the components operator: same round templates as
+    the oracle, executed stepwise. Edges (the LSH pair pipeline) and the
+    per-round label table are materialized once — each round references
+    labels 3× and edges 2×, so the inline-CTE form would re-run the
+    whole MinHash pipeline ~12× (Catalyst inlines CTEs)."""
+    from tesseract_glue_spark.functions import dialect as _D
+
+    spark.read.parquet(f"{sf_dir}/{table}.parquet").createOrReplaceTempView(table)
+    sh = spark.sql(shingles_sql(_D.SPARK, table)).persist()
+    sh.count()
+    sh.createOrReplaceTempView("shingles_mv")
+    # localCheckpoint (not just persist): the round SQL references the
+    # edge relation twice per round; self-joining a view whose plan
+    # carries the full LSH pipeline trips Catalyst's attribute dedup
+    # ("Invalid call to exprId on unresolved object"). Checkpointing
+    # truncates the lineage to a clean leaf — and at 10^12 docs also
+    # stops each round from carrying an ever-deeper plan tree.
+    edges = spark.sql(
+        minhash_lsh_pairs_sql(_D.SPARK, table, shingles_table="shingles_mv")
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("cc_edges")
+    labels = spark.sql(_cc_init_sql(table)).localCheckpoint(eager=True)
+    labels.createOrReplaceTempView("cc_labels")
+    for _ in range(rounds):
+        labels = spark.sql(_cc_round_sql("cc_labels", "cc_edges")).localCheckpoint(
+            eager=True
+        )
+        labels.createOrReplaceTempView("cc_labels")
+    return spark.sql(_cc_final_sql("cc_labels"))
+
+
 DEDUP_OPS = {
     "dedup_exact": exact_dedup_sql,
     "dedup_ngram_jaccard": ngram_jaccard_pairs_sql,

@@ -209,6 +209,65 @@ def pii_scrub_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
+SAMPLE_RATES: dict[str, int] = {"en": 30}   # pct per lang stratum
+SAMPLE_DEFAULT_PCT = 10
+
+
+def sample_stratified_sql(d: str, table: str = "documents") -> str:
+    """Deterministic stratified corpus sampling — the downsampling pass
+    of a training-data mixer. Selection is by content-independent hash
+    of the doc_id (md5-based, identical across engines), so the sample
+    is reproducible across runs, engines, and partitionings — never
+    ``rand()``, which is seed/partitioning-dependent. Per-language
+    strata get different rates (SAMPLE_RATES, default
+    {SAMPLE_DEFAULT_PCT}%). Scale shape: a scan + filter, no shuffle."""
+    cast = "STRING" if d == D.SPARK else "VARCHAR"
+    h = D.str_hash64(d, f"concat('sample_', CAST(doc_id AS {cast}))")
+    rate_cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(SAMPLE_RATES.items())
+    )
+    rate = f"(CASE {rate_cases} ELSE {SAMPLE_DEFAULT_PCT} END)"
+    return f"""
+    SELECT doc_id, lang, source
+    FROM {table}
+    WHERE {h} % 100 < {rate}
+    """.strip()
+
+
+PACK_TOKEN_BUDGET = 512
+PACK_GROUPS = 16
+
+
+def pack_sequences_sql(d: str, table: str = "documents") -> str:
+    """Sequence packing for training batches: contiguous greedy packing
+    of documents into bins of ≤{PACK_TOKEN_BUDGET} whitespace tokens
+    (oversize docs get their own bin), computed as a running token sum.
+
+    Scale shape: the running sum is windowed PER pack_group
+    (doc_id % {PACK_GROUPS}) — bounded-width partitions, never a global
+    single-partition sort. On a cluster, set PACK_GROUPS ≈ shuffle
+    parallelism; bins are (pack_group, bin_no) pairs so group-local
+    packing composes. bin_no = exclusive-prefix-sum DIV budget."""
+    n_tok = D.ws_token_count(d, "text")
+    win = "PARTITION BY pack_group ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    bin_no = D.int_div(d, "(run_total - n_tokens)", str(PACK_TOKEN_BUDGET))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {PACK_GROUPS} AS pack_group,
+               CAST({n_tok} AS BIGINT) AS n_tokens
+        FROM {table}
+    ),
+    runs AS (
+        SELECT doc_id, pack_group, n_tokens,
+               SUM(n_tokens) OVER ({win}) AS run_total
+        FROM toks
+    )
+    SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group, n_tokens,
+           CAST({bin_no} AS BIGINT) AS bin_no
+    FROM runs
+    """.strip()
+
+
 TEXT_OPS = {
     "text_token_stats": token_stats_sql,
     "text_quality": quality_sql,
@@ -216,4 +275,6 @@ TEXT_OPS = {
     "text_fingerprint": fingerprint_sql,
     "text_boilerplate_strip": boilerplate_strip_sql,
     "text_pii_scrub": pii_scrub_sql,
+    "text_sample_stratified": sample_stratified_sql,
+    "text_pack_sequences": pack_sequences_sql,
 }

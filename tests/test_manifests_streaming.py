@@ -347,6 +347,33 @@ class TestStatefulStreaming:
         assert got == want
 
 
+class TestDedupComponents:
+    def test_components_fixpoint_and_pair_consistency(self, spark):
+        """CC_ROUNDS hash-to-min rounds must reach the fixpoint on the
+        near-dup graph (dup clusters are near-cliques), and every
+        verified near-dup pair must land in one component."""
+        from tests.conftest import canonical_csv
+
+        from tesseract_glue_spark.operators.dedup import (
+            CC_ROUNDS,
+            dedup_components,
+            minhash_lsh_pairs_sql,
+        )
+        from tesseract_glue_spark.operators.registry import spark_runner
+
+        a = dedup_components(spark, SF_DIR).toPandas()
+        b = dedup_components(spark, SF_DIR, rounds=CC_ROUNDS + 1).toPandas()
+        assert canonical_csv(a) == canonical_csv(b), "label propagation not converged"
+        comp = dict(zip(a["doc_id"], a["component"]))
+        pairs = spark_runner(minhash_lsh_pairs_sql, tables=("documents",))(
+            spark, SF_DIR).toPandas()
+        assert len(pairs) > 0
+        for r in pairs.itertuples():
+            assert comp[r.doc_a] == comp[r.doc_b], (r.doc_a, r.doc_b)
+        # components are rooted at their minimum member
+        assert (a["component"] <= a["doc_id"]).all()
+
+
 class TestStatefulTimeout:
     """Hermetic handler-contract tests for the stateful operator (the
     timeout path can't be driven deterministically through a real
