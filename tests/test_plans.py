@@ -146,6 +146,22 @@ class TestIvfPlanShape:
         assert "HashAggregate" in plan, plan
 
 
+class TestPackingPlanShape:
+    def test_pack_sequences_window_is_partitioned(self, spark):
+        """The running-sum window must be partitioned by pack_group —
+        a global ORDER BY window funnels the whole table through ONE
+        task at 10^12 rows (Spark even warns 'No Partition Defined')."""
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.text import pack_sequences_sql
+
+        df = spark_runner(pack_sequences_sql, tables=("documents",))(spark, SF_DIR)
+        plan = C.plan_text(df)
+        assert "Window" in plan, plan
+        # a partitioned window hash-partitions on its keys; a global one
+        # plans Exchange SinglePartition directly under the Window
+        assert "SinglePartition" not in plan, plan
+
+
 class TestRelationalPlanShape:
     def test_partial_aggregation_before_shuffle(self, spark):
         """TPC-H Q1 shape: map-side partial HashAggregate must appear
