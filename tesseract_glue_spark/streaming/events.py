@@ -68,6 +68,19 @@ def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedup: drop replayed events by event_id
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` —
+    state for an id is releasable once the watermark passes it, so
+    state stays bounded on an unbounded stream; a plain
+    ``dropDuplicates`` would grow state forever). The streaming twin of
+    ``dedup_exact``: an at-least-once upstream (Kafka replays, file
+    redelivery) becomes exactly-once content downstream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_memory(
     streamed: DataFrame, query_name: str, timeout_sec: int = 420
 ) -> None:

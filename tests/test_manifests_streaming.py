@@ -139,6 +139,36 @@ class TestStreaming:
         )
         assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
 
+    def test_stream_dedup_drops_replayed_events(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark: a replayed (duplicated) input
+        file must not duplicate output rows — the streaming twin of
+        dedup_exact for at-least-once sources."""
+        import shutil
+
+        from tesseract_glue_spark.streaming import events as S
+
+        src = tmp_path / "dup_stream"
+        src.mkdir()
+        shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+        shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")  # full replay
+        deduped = S.dedup_events_stream(S.read_events_stream(spark, str(src)))
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+        got = spark.sql("select event_id from dedup_stream_test")
+        n_unique = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select("event_id").distinct().count()
+        )
+        assert got.count() == n_unique
+        assert got.distinct().count() == n_unique
+
     def test_session_stream_runs(self, spark, events_dir):
         from tesseract_glue_spark.streaming import events as S
 
