@@ -40,13 +40,16 @@ class ExtractionConfig:
     def validated(self) -> "ExtractionConfig":
         """Driver-side preflight: fail fast before submitting a job.
 
-        Mirrors ``Reader.__init__`` (``reader.py:19-32``): unknown
-        language → ``ValueError``; tesseract backend additionally needs
-        both ``{lang}.traineddata`` and ``osd.traineddata`` present
-        (the PSM_AUTO_OSD mode requires the osd model, ``reader2.cpp:24``)
-        → ``FileNotFoundError`` otherwise.
+        Mirrors ``Reader.__init__`` (``reader.py:19-32``), which checks
+        ONLY that ``{lang}.traineddata`` and ``osd.traineddata`` exist in
+        the tessdata path — the language string itself is free-form, so
+        custom-trained models (``my_model.traineddata``) work. We do the
+        same when a tessdata path is available to check against
+        (tesseract backend) → ``FileNotFoundError`` on missing assets
+        (osd is required by the PSM_AUTO_OSD mode, ``reader2.cpp:24``).
+        For the stub backend there are no files to check, so the known-
+        code registry is the only typo guard → ``ValueError``.
         """
-        validate_language(self.lang)
         if self.backend == "tesseract":
             if not self.tessdata_path or not os.path.isdir(self.tessdata_path):
                 raise FileNotFoundError(
@@ -56,7 +59,9 @@ class ExtractionConfig:
                 p = os.path.join(self.tessdata_path, f"{code}.traineddata")
                 if not os.path.exists(p):
                     raise FileNotFoundError(f"missing traineddata: {p}")
-        elif self.backend != "stub":
+        elif self.backend == "stub":
+            validate_language(self.lang)
+        else:
             raise ValueError(f"unknown backend: {self.backend!r}")
         return self
 

@@ -242,6 +242,25 @@ class TestEngine:
             ExtractionConfig(backend="wat").validated()
         assert ExtractionConfig().validated().lang == "eng"
 
+    def test_custom_traineddata_model_accepted(self, tmp_path):
+        """Parity with reference reader.py:19-32: the language string is
+        free-form — a custom-trained model whose .traineddata exists must
+        validate even though it's not in the known-code registry (the
+        registry only guards the stub backend, where no files exist)."""
+        from tesseract_glue_spark.config import ExtractionConfig
+
+        (tmp_path / "my_model.traineddata").write_bytes(b"x")
+        (tmp_path / "osd.traineddata").write_bytes(b"x")
+        cfg = ExtractionConfig(
+            backend="tesseract", lang="my_model", tessdata_path=str(tmp_path)
+        ).validated()
+        assert cfg.lang == "my_model"
+        # ... but a stub config still fails fast on unknown codes
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ExtractionConfig(backend="stub", lang="my_model").validated()
+
     def test_config_tessdata_missing_osd(self, tmp_path):
         # tests/test_integration.py:41-58: osd required even if lang present
         from tesseract_glue_spark.config import ExtractionConfig
