@@ -11,7 +11,12 @@ export set):
 """
 
 from tesseract_glue_spark.config import ExtractionConfig
-from tesseract_glue_spark.engine import engine_info, get_engine, normalize_text
+from tesseract_glue_spark.engine import (
+    engine_info,
+    get_engine,
+    image_lib_versions,
+    normalize_text,
+)
 from tesseract_glue_spark.errors import (
     EngineInitError,
     ExtractionError,
@@ -33,6 +38,7 @@ __all__ = [
     "ImageDecodeError",
     "MediaResolveError",
     "engine_info",
+    "image_lib_versions",
     "explode_spans",
     "extract_documents",
     "extract_flat",

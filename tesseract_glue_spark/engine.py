@@ -113,6 +113,17 @@ def get_engine(config: ExtractionConfig):
     return eng
 
 
+def image_lib_versions() -> dict[str, str]:
+    """Imaging libraries and their versions, as a mapping — the exact
+    API shape of the reference's ``capabilities.image_lib_versions``
+    (``capabilities.py:7-19``, which parses Leptonica's linked-lib
+    report). Our codec stack is zlib (PNG inflate/deflate) + numpy
+    (pixel kernels)."""
+    import zlib
+
+    return {"zlib": zlib.ZLIB_VERSION, "numpy": np.__version__}
+
+
 def engine_info(config: ExtractionConfig | None = None) -> dict[str, str]:
     """Diagnostic capability report for lineage manifests — the analogue
     of ``tesseract_version`` + ``image_lib_versions``

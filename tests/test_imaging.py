@@ -269,6 +269,15 @@ class TestEngine:
         with pytest.raises(FileNotFoundError, match="osd"):
             ExtractionConfig(backend="tesseract", tessdata_path=str(tmp_path)).validated()
 
+    def test_image_lib_versions_mapping(self):
+        """capabilities.py:7-19 parity: lib→version mapping, non-empty
+        version strings."""
+        from tesseract_glue_spark import image_lib_versions
+
+        v = image_lib_versions()
+        assert set(v) == {"zlib", "numpy"}
+        assert all(isinstance(s, str) and s for s in v.values())
+
     def test_language_codes(self):
         from tesseract_glue_spark.languages import LANGUAGE_CODES
 
