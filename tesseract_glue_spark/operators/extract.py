@@ -135,14 +135,13 @@ def _make_ocr_fn(config: ExtractionConfig):
                     n_zones, shear = 0, 0.0
                     if config.preprocess:
                         body = gray[PAYLOAD_ROWS:]
-                        ink = kernels.otsu_binarize(body)
+                        ink, t = kernels.otsu_binarize_with_threshold(body)
                         if ink.any():
                             shear = kernels.estimate_shear(ink)
                             if abs(shear) > 1e-3:
                                 # deskew preserves pixel values → the Otsu
                                 # threshold is unchanged; re-binarize by
                                 # compare only (no second histogram pass)
-                                t = kernels.otsu_threshold(body)
                                 body = kernels.deskew(body, shear)
                                 ink = body <= t
                             n_zones = len(kernels.xy_cut(ink))
