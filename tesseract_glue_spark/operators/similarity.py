@@ -108,10 +108,37 @@ def _q_cte(d: str, table: str) -> str:
     """.strip()
 
 
+# The two brute-force recall oracles are O(n²) BY DESIGN; above this many
+# input rows they switch to a deterministic stride sample so their cost
+# is bounded at any SF (the gate corpus is 500 rows — far below the cap,
+# so gate hashes are computed over the FULL table). Stride sampling
+# (vec_id % ceil(n/cap) = 0) is content-independent and identical in both
+# dialects, so the Spark query and the DuckDB oracle stay hash-equal at
+# every scale. The production paths (LSH / IVF) are never sampled.
+BRUTE_CAP = 4096
+
+
+def _gated_q_cte(d: str, table: str) -> str:
+    q = _quant(d)
+    n2 = _dot(d, "q", "q")
+    stride = D.int_div(d, f"(COUNT(*) + {BRUTE_CAP - 1})", str(BRUTE_CAP))
+    return f"""
+    params AS (SELECT CAST({stride} AS BIGINT) AS stride FROM {table}),
+    q0 AS (SELECT vec_id, label, {q} AS q
+           FROM {table}, params WHERE vec_id % stride = 0),
+    qv AS (SELECT vec_id, label, q, {n2} AS n2 FROM q0)
+    """.strip()
+
+
 def cosine_neardup_pairs_sql(d: str, table: str = "embeddings") -> str:
+    """All-pairs near-dup baseline — the recall oracle for the LSH
+    variant, never the production path. Scale-gated: above BRUTE_CAP
+    rows the input is a deterministic stride sample (see
+    :func:`_gated_q_cte`), so the self-join touches a bounded row count
+    at any SF."""
     cos = _cos_x10k(d, "dot_ab", "n2a", "n2b")
     return f"""
-    WITH {_q_cte(d, table)},
+    WITH {_gated_q_cte(d, table)},
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                {_dot(d, "a.q", "b.q")} AS dot_ab,
@@ -181,10 +208,14 @@ def cosine_neardup_lsh_sql(d: str, table: str = "embeddings") -> str:
 
 
 def ann_topk_bruteforce_sql(d: str, table: str = "embeddings") -> str:
+    """Exact top-k baseline — the recall oracle for the approximate
+    methods. Scale-gated like :func:`cosine_neardup_pairs_sql`: above
+    BRUTE_CAP rows both the query set and the neighbor set come from
+    the same deterministic stride sample."""
     dot = _dot(d, "a.q", "b.q")
     cos = _cos_x10k(d, dot, "a.n2", "b.n2")
     return f"""
-    WITH {_q_cte(d, table)},
+    WITH {_gated_q_cte(d, table)},
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                {cos} AS cos_x10k

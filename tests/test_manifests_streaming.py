@@ -229,6 +229,59 @@ class TestSqlOperatorParity:
         for name, (b, tabs) in RELATIONAL_OPS.items():
             assert self._check(spark, duck, b, tabs) > 0, name
 
+    def test_brute_force_scale_gate(self, spark, tmp_path):
+        """Above BRUTE_CAP rows the two O(n²) recall baselines must
+        switch to a deterministic stride sample — bounded work at any
+        SF — while staying engine-equal; below the cap they are
+        untouched (checked implicitly by every oracle run)."""
+        import numpy as np
+
+        from tesseract_glue_spark.functions import dialect as D
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.similarity import (
+            BRUTE_CAP,
+            QUERY_MOD,
+            ann_topk_bruteforce_sql,
+        )
+
+        n = BRUTE_CAP + 904  # stride = 2 → even vec_ids only
+        rng = np.random.default_rng(7)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [rng.normal(size=64).astype("float32").tolist() for _ in range(n)],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array((np.arange(n) % 10), type=pa.int32()),
+            }
+        )
+        big_dir = str(tmp_path / "big")
+        os.makedirs(big_dir)
+        pq.write_table(tbl, f"{big_dir}/embeddings.parquet")
+
+        got = spark_runner(ann_topk_bruteforce_sql, tables=("embeddings",))(
+            spark, big_dir).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{big_dir}/embeddings.parquet')"
+        )
+        want = con.sql(ann_topk_bruteforce_sql(D.DUCKDB)).df()
+
+        def norm(p):
+            p = p.reindex(sorted(p.columns), axis=1)
+            return p.sort_values(by=list(p.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+        # the gate actually engaged: only even vec_ids (stride 2) appear
+        assert (got["neighbor_id"] % 2 == 0).all()
+        expected_queries = len([i for i in range(0, n, QUERY_MOD) if i % 2 == 0])
+        assert got["query_id"].nunique() == expected_queries
+
     def test_neardup_lsh_subset_and_recall(self, spark):
         """The LSH near-dup pair source must emit ONLY true pairs (exact
         verification ⇒ subset of brute force) at usable recall — it is
