@@ -33,6 +33,34 @@ def spark_runner(
     return run
 
 
+# One persisted shingle table per (application, corpus): every
+# shingle-pair query in a session (minhash sig/LSH/survivors, simhash,
+# ngram-jaccard, components) reuses the same materialization instead of
+# persisting a fresh copy per call — repeated/concurrent queries in one
+# SparkSession used to leak one cached DataFrame each (round-2 advisor
+# finding). Evicted entries are unpersisted explicitly.
+_SHINGLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+SHINGLES_VIEW = "shingles_mv"
+
+
+def get_cached_shingles(spark: SparkSession, sf_dir: str, table: str = "documents") -> DataFrame:
+    """Materialize (once per session+corpus) and register the shingle
+    table under the ``shingles_mv`` view; returns the persisted frame."""
+    from tesseract_glue_spark.operators.dedup import shingles_sql
+
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        for old_key in [k for k in _SHINGLE_CACHE if k[0] != key[0]]:
+            _SHINGLE_CACHE.pop(old_key).unpersist()  # dead sessions
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").createOrReplaceTempView(table)
+        sh = spark.sql(shingles_sql(D.SPARK, table)).persist()
+        sh.count()
+        _SHINGLE_CACHE[key] = sh
+    sh.createOrReplaceTempView(SHINGLES_VIEW)
+    return sh
+
+
 def cached_shingles_runner(
     builder: SqlBuilder, tables: tuple[str, ...] = ("documents",)
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -44,13 +72,9 @@ def cached_shingles_runner(
     are identical by construction."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from tesseract_glue_spark.operators.dedup import shingles_sql
-
         _register(spark, sf_dir, tables)
-        sh = spark.sql(shingles_sql(D.SPARK)).persist()
-        sh.count()
-        sh.createOrReplaceTempView("shingles_mv")
-        return spark.sql(builder(D.SPARK, shingles_table="shingles_mv"))
+        get_cached_shingles(spark, sf_dir)
+        return spark.sql(builder(D.SPARK, shingles_table=SHINGLES_VIEW))
 
     return run
 

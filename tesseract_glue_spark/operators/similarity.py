@@ -530,9 +530,13 @@ def ann_topk_ivf(spark, sf_dir: str, table: str = "embeddings"):
     construction) so each step's plan scans ``qv`` a bounded number of
     times and the K-row side broadcasts; K×dim literal arrays inside
     expressions are a Janino codegen bomb, so values travel as DATA."""
+    from uuid import uuid4
+
+    tag = uuid4().hex[:12]  # per-invocation view names: concurrent IVF
+    qv_view, cent_view = f"ivf_qv_{tag}", f"ivf_cent_{tag}"  # runs must not trample
     spark.read.parquet(f"{sf_dir}/{table}.parquet").createOrReplaceTempView(table)
     qv = spark.sql(ivf_qv_sql(D.SPARK, table)).persist()
-    qv.createOrReplaceTempView("ivf_qv")
+    qv.createOrReplaceTempView(qv_view)
 
     def materialize(df):
         rows = df.collect()  # K rows of (cluster, cq)
@@ -540,13 +544,23 @@ def ann_topk_ivf(spark, sf_dir: str, table: str = "embeddings"):
             [(int(r["cluster"]), [int(v) for v in r["cq"]]) for r in rows],
             schema="cluster INT, cq ARRAY<BIGINT>",
         )
-        out.createOrReplaceTempView("ivf_cent")
+        out.createOrReplaceTempView(cent_view)
         return out
 
-    materialize(spark.sql(ivf_init_sql(D.SPARK, "ivf_qv")))
-    for _ in range(IVF_ITERS):
-        materialize(spark.sql(ivf_step_sql(D.SPARK, "ivf_qv", "ivf_cent")))
-    return spark.sql(ivf_final_sql(D.SPARK, "ivf_qv", "ivf_cent"))
+    try:
+        materialize(spark.sql(ivf_init_sql(D.SPARK, qv_view)))
+        for _ in range(IVF_ITERS):
+            materialize(spark.sql(ivf_step_sql(D.SPARK, qv_view, cent_view)))
+        # materialize the final result so qv's cache can be released
+        # here instead of leaking across the session (round-2 advisor
+        # finding); the checkpointed frame is what the caller collects
+        return spark.sql(ivf_final_sql(D.SPARK, qv_view, cent_view)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.catalog.dropTempView(qv_view)
+        spark.catalog.dropTempView(cent_view)
+        qv.unpersist()
 
 
 SIMILARITY_OPS = {
