@@ -117,11 +117,13 @@ def image_lib_versions() -> dict[str, str]:
     """Imaging libraries and their versions, as a mapping — the exact
     API shape of the reference's ``capabilities.image_lib_versions``
     (``capabilities.py:7-19``, which parses Leptonica's linked-lib
-    report). Our codec stack is zlib (PNG inflate/deflate) + numpy
-    (pixel kernels)."""
-    import zlib
+    report; its test requires libtiff linked,
+    ``tests/test_capabilties.py:11-12``). Our codec stack: zlib (PNG
+    inflate/deflate), numpy (pixel kernels), built-in PNG and TIFF
+    gray8 codecs, plus Pillow when installed."""
+    from tesseract_glue_spark.imaging.codecs import codec_versions
 
-    return {"zlib": zlib.ZLIB_VERSION, "numpy": np.__version__}
+    return codec_versions()
 
 
 def engine_info(config: ExtractionConfig | None = None) -> dict[str, str]:
@@ -135,6 +137,6 @@ def engine_info(config: ExtractionConfig | None = None) -> dict[str, str]:
     return {
         "engine": type(eng).__name__,
         "engine_version": eng.version(),
-        "codec": f"png-gray8 (zlib {zlib.ZLIB_VERSION})",
+        "codec": f"png-gray8+tiff-gray8 (zlib {zlib.ZLIB_VERSION})",
         "numpy": np.__version__,
     }

@@ -50,7 +50,7 @@ from tesseract_glue_spark import errors
 from tesseract_glue_spark.config import ExtractionConfig
 from tesseract_glue_spark.engine import get_engine
 from tesseract_glue_spark.imaging import kernels
-from tesseract_glue_spark.imaging.png import decode_png
+from tesseract_glue_spark.imaging.codecs import decode_image
 from tesseract_glue_spark.imaging.render import PAYLOAD_ROWS
 
 OCR_RESULT_SCHEMA = T.StructType(
@@ -130,7 +130,7 @@ def _make_ocr_fn(config: ExtractionConfig):
                     procs.append(int(1e6 * (_time.perf_counter() - _t0)))
                     continue
                 try:
-                    gray = kernels.to_grayscale(decode_png(bytes(img_bytes)))
+                    gray = kernels.to_grayscale(decode_image(bytes(img_bytes)))
                     h, w = gray.shape
                     n_zones, shear = 0, 0.0
                     if config.preprocess:

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tesseract_glue_spark.imaging import kernels
-from tesseract_glue_spark.imaging.png import decode_png, encode_png, image_dims
+from tesseract_glue_spark.imaging.codecs import decode_image, image_dims_any, sniff_mime
+from tesseract_glue_spark.imaging.png import encode_png
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -87,20 +88,23 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
 
 def image_metadata(pages: DataFrame) -> DataFrame:
-    """Header-only metadata scan: dims come from the PNG IHDR without a
-    full pixel decode (``Image.w/h`` analogue, ``Image.cpp:15-27``;
-    null/undecodable → 0×0 per ``tests/test_basic.cpp:45-58``)."""
+    """Header-only metadata scan: dims come from the container header
+    (PNG IHDR / TIFF IFD) without a full pixel decode (``Image.w/h``
+    analogue, ``Image.cpp:15-27``; null/undecodable → 0×0 per
+    ``tests/test_basic.cpp:45-58``); the media type is sniffed from the
+    magic bytes like Leptonica's pixRead dispatch."""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ref, img in zip(pdf["media_ref"], pdf["image"]):
                 if img is None:
-                    rows.append((ref, "image/png", 0, 0, 0, "missing"))
+                    rows.append((ref, "missing", 0, 0, 0, "missing"))
                     continue
-                w, h = image_dims(bytes(img))
+                b = bytes(img)
+                w, h = image_dims_any(b)
                 status = "ok" if w > 0 else "unreadable"
-                rows.append((ref, "image/png", w, h, len(img), status))
+                rows.append((ref, sniff_mime(b), w, h, len(b), status))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
     return _fan_out(pages.select("media_ref", "image")).mapInPandas(
@@ -117,7 +121,7 @@ def image_features(pages: DataFrame, bins: int = 8) -> DataFrame:
             rows = []
             for ref, img in zip(pdf["media_ref"], pdf["image"]):
                 try:
-                    gray = kernels.to_grayscale(decode_png(bytes(img)))
+                    gray = kernels.to_grayscale(decode_image(bytes(img)))
                 except Exception:
                     rows.append((ref, [0.0] * bins, 0, 0))
                     continue
@@ -148,8 +152,12 @@ def image_resize(pages: DataFrame, max_side: int = 64) -> DataFrame:
             rows = []
             for ref, img in zip(pdf["media_ref"], pdf["image"]):
                 try:
-                    gray = kernels.to_grayscale(decode_png(bytes(img)))
+                    gray = kernels.to_grayscale(decode_image(bytes(img)))
                 except Exception:
+                    # placeholder row, not a silent drop: in a corpus
+                    # screen the undecodable pages are exactly the ones
+                    # that must stay countable (round-2 advisor finding)
+                    rows.append((ref, None, 0, 0))
                     continue
                 h, w = gray.shape
                 step = max(1, (max(h, w) + max_side - 1) // max_side)
@@ -188,8 +196,12 @@ def image_pixel_stats(pages: DataFrame) -> DataFrame:
             rows = []
             for ref, img in zip(pdf["media_ref"], pdf["image"]):
                 try:
-                    gray = kernels.to_grayscale(decode_png(bytes(img)))
+                    gray = kernels.to_grayscale(decode_image(bytes(img)))
                 except Exception:
+                    # corruption screen: undecodable pages are the most
+                    # corrupted of all — count them (n_nonwhite=-1 marks
+                    # the error row), never drop them
+                    rows.append((ref, 0, 0, -1, -1))
                     continue
                 h, w = gray.shape
                 rows.append(

@@ -349,3 +349,43 @@ class TestRobustness:
             else:
                 assert r["n_zones"] >= 1, (n, r["n_zones"])
         assert saw_multi
+
+
+class TestTiffPageStore:
+    def test_extraction_over_tiff_pages_matches_png(self, spark, docs, pages):
+        """A TIFF-backed page store (the reference's corpus format,
+        tests/CMakeLists.txt:3-7) must extract to exactly the same
+        span sequences as the PNG-backed store — the decode seam
+        dispatches per page on magic bytes. Half the pages are
+        transcoded big-endian / WhiteIsZero to exercise the full
+        variant matrix inside executors."""
+        import pandas as pd
+
+        from tesseract_glue_spark.imaging.codecs import decode_image
+        from tesseract_glue_spark.imaging.tiff import encode_tiff
+
+        def transcode(batches):
+            for pdf in batches:
+                out = []
+                for i, (ref, img) in enumerate(zip(pdf["media_ref"], pdf["image"])):
+                    gray = decode_image(bytes(img))
+                    out.append(
+                        (
+                            ref,
+                            encode_tiff(
+                                gray,
+                                big_endian=(i % 2 == 0),
+                                photometric=(0 if i % 3 == 0 else 1),
+                                rows_per_strip=(16 if i % 5 == 0 else None),
+                            ),
+                        )
+                    )
+                yield pd.DataFrame(out, columns=["media_ref", "image"])
+
+        tiff_pages = pages.select("media_ref", "image").mapInPandas(
+            transcode, schema="media_ref string, image binary"
+        )
+        got = extract.extract_flat(docs, tiff_pages, ExtractionConfig()).collect()
+        want = extract.extract_flat(docs, pages, ExtractionConfig()).collect()
+        key = lambda r: (r["doc_id"], r["offset"] if r["offset"] is not None else -1)
+        assert sorted(got, key=key) == sorted(want, key=key)

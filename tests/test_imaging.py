@@ -275,7 +275,9 @@ class TestEngine:
         from tesseract_glue_spark import image_lib_versions
 
         v = image_lib_versions()
-        assert set(v) == {"zlib", "numpy"}
+        # libtiff-linked parity (tests/test_capabilties.py:11-12): the
+        # TIFF codec must be reported alongside PNG
+        assert {"zlib", "numpy", "png-gray8", "tiff-gray8"} <= set(v)
         assert all(isinstance(s, str) and s for s in v.values())
 
     def test_language_codes(self):
@@ -521,3 +523,104 @@ class TestShipping:
             str(fake_zip / "tesseract_glue_spark" / "__init__.py"),
         )
         assert shipping.build_pyfiles_zip(str(tmp_path)) == str(fake_zip)
+
+
+class TestTiff:
+    """Built-in TIFF gray8 codec (the reference's corpus format:
+    tests/CMakeLists.txt:3-7; libtiff required by its capability test,
+    tests/test_capabilties.py:11-12)."""
+
+    def _img(self, h=37, w=53, seed=3):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    def test_roundtrip_little_endian(self):
+        from tesseract_glue_spark.imaging.tiff import decode_tiff, encode_tiff
+
+        img = self._img()
+        assert np.array_equal(decode_tiff(encode_tiff(img)), img)
+
+    def test_roundtrip_big_endian(self):
+        from tesseract_glue_spark.imaging.tiff import decode_tiff, encode_tiff
+
+        img = self._img(seed=4)
+        assert np.array_equal(decode_tiff(encode_tiff(img, big_endian=True)), img)
+
+    def test_roundtrip_multi_strip(self):
+        from tesseract_glue_spark.imaging.tiff import decode_tiff, encode_tiff
+
+        img = self._img(h=41, seed=5)
+        for rps in (1, 7, 40, 41, 100):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(img, rows_per_strip=rps)), img
+            ), rps
+
+    def test_white_is_zero_inverts(self):
+        from tesseract_glue_spark.imaging.tiff import decode_tiff, encode_tiff
+
+        img = self._img(seed=6)
+        data = encode_tiff(img, photometric=0)
+        assert np.array_equal(decode_tiff(data), img)  # logical image preserved
+
+    def test_dims_without_decode(self):
+        from tesseract_glue_spark.imaging.tiff import encode_tiff, tiff_dims
+
+        img = self._img(h=19, w=211)
+        assert tiff_dims(encode_tiff(img)) == (211, 19)
+        assert tiff_dims(encode_tiff(img, big_endian=True)) == (211, 19)
+        assert tiff_dims(b"garbage") == (0, 0)
+
+    def test_unsupported_compression_rejected(self):
+        from tesseract_glue_spark.imaging.tiff import decode_tiff, encode_tiff
+
+        data = bytearray(encode_tiff(self._img()))
+        # compression is the 4th IFD tag; its SHORT value sits at
+        # header(8) + count(2) + 3*12 + 8
+        off = 8 + 2 + 3 * 12 + 8
+        import struct as _s
+
+        assert _s.unpack_from("<H", data, off)[0] == 1
+        _s.pack_into("<H", data, off, 5)  # LZW
+        with pytest.raises(ImageDecodeError, match="compression"):
+            decode_tiff(bytes(data))
+
+    def test_truncated_rejected(self):
+        from tesseract_glue_spark.imaging.tiff import decode_tiff, encode_tiff
+
+        data = encode_tiff(self._img())
+        with pytest.raises(ImageDecodeError):
+            decode_tiff(data[: len(data) // 2])
+        with pytest.raises(ImageDecodeError):
+            decode_tiff(b"II*\x00\x08\x00")
+
+
+class TestCodecDispatch:
+    def test_decode_image_dispatches_on_magic(self):
+        from tesseract_glue_spark.imaging.codecs import decode_image
+        from tesseract_glue_spark.imaging.tiff import encode_tiff
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_png(img)), img)
+        assert np.array_equal(decode_image(encode_tiff(img)), img)
+        with pytest.raises(ImageDecodeError):
+            decode_image(b"\xff\xd8\xff\xe0 not really a jpeg")
+
+    def test_image_dims_any(self):
+        from tesseract_glue_spark.imaging.codecs import image_dims_any
+        from tesseract_glue_spark.imaging.tiff import encode_tiff
+
+        img = np.zeros((17, 29), dtype=np.uint8)
+        assert image_dims_any(encode_png(img)) == (29, 17)
+        assert image_dims_any(encode_tiff(img)) == (29, 17)
+        assert image_dims_any(b"junk") == (0, 0)
+
+    def test_sniff_mime(self):
+        from tesseract_glue_spark.imaging.codecs import sniff_mime
+        from tesseract_glue_spark.imaging.tiff import encode_tiff
+
+        img = np.zeros((4, 4), dtype=np.uint8)
+        assert sniff_mime(encode_png(img)) == "image/png"
+        assert sniff_mime(encode_tiff(img)) == "image/tiff"
+        assert sniff_mime(encode_tiff(img, big_endian=True)) == "image/tiff"
+        assert sniff_mime(b"????????") == "application/octet-stream"
