@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tesseract_glue_spark.operators.registry import spark_runner
 
     from tesseract_glue_spark.operators.pages_meta import (
+        image_features_blank_spark,
         image_pixel_stats_spark,
         image_resize_dims_spark,
         pages_metadata_spark,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_metadata": pages_metadata_spark,
         "image_resize_dims": image_resize_dims_spark,
         "image_pixel_stats": image_pixel_stats_spark,
+        "image_features_blank": image_features_blank_spark,
     }
     from tesseract_glue_spark.operators.multimodal import (
         audio_features_fake_spark,
@@ -167,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     from tesseract_glue_spark.operators.pages_meta import (
+        image_features_blank_oracle_sql,
         image_pixel_stats_oracle_sql,
         image_resize_dims_oracle_sql,
         pages_metadata_oracle_sql,
@@ -179,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
     o["pages_metadata"] = pages_metadata_oracle_sql()
     o["image_resize_dims"] = image_resize_dims_oracle_sql()
     o["image_pixel_stats"] = image_pixel_stats_oracle_sql()
+    o["image_features_blank"] = image_features_blank_oracle_sql()
     from tesseract_glue_spark.operators.multimodal import (
         audio_features_fake_oracle_sql,
         video_frames_fake_oracle_sql,

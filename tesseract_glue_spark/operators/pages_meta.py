@@ -104,6 +104,54 @@ def image_resize_dims_oracle_sql(table: str = "documents") -> str:
     """.strip()
 
 
+def image_features_blank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page feature extraction (Otsu ink ratio + mean intensity),
+    restricted to the BLANK-page subset where both integers are
+    closed-form derivable from the fixture contract: a blank page is
+    255-white except its 6- or 10-byte payload stream, Otsu separates
+    exactly those stream pixels as ink, and the truncated mean is
+    ``(255·w·h − deficit) div (w·h)``. The float histogram column is
+    excluded (floats are banned from oracle-compared outputs); the full
+    corpus runs through the same kernel in pytest."""
+    from pyspark.sql import functions as F
+
+    from tesseract_glue_spark.fixtures import interleaved_documents, pages_for
+    from tesseract_glue_spark.operators.multimodal import image_features
+
+    pages = pages_for(interleaved_documents(spark, sf_dir))
+    n = F.substring("media_ref", 5, 8).cast("int")
+    return (
+        image_features(pages)
+        .where(n % 7 == 0)
+        .select(
+            "media_ref",
+            F.col("ink_ratio_x10k").cast("long").alias("ink_ratio_x10k"),
+            F.col("mean_intensity").cast("long").alias("mean_intensity"),
+        )
+    )
+
+
+def image_features_blank_oracle_sql(table: str = "documents") -> str:
+    """Blank-page features in closed form (same stream model as
+    :func:`image_pixel_stats_oracle_sql`): ink = stream pixels (6 when
+    n%14=0 else 10), ratio = (10⁴·ink) div (w·h); mean =
+    (255·w·h − deficit) div (w·h)."""
+    d = D.DUCKDB
+    n = truth.media_num_expr(d)
+    ref = truth.media_ref_expr(d)
+    ink = f"(CASE WHEN {n} % 14 = 0 THEN 6 ELSE 10 END)"
+    deficit = f"(CASE WHEN {n} % 14 = 0 THEN {6 * 255 - 155} ELSE {10 * 255 - 264} END)"
+    h = f"(160 + ({n} % 4) * 40)"
+    area = f"(240 * {h})"
+    return f"""
+    SELECT DISTINCT {ref} AS media_ref,
+           CAST({D.int_div(d, f'(10000 * {ink})', area)} AS BIGINT) AS ink_ratio_x10k,
+           CAST({D.int_div(d, f'(255 * {area} - {deficit})', area)} AS BIGINT) AS mean_intensity
+    FROM {table}, unnest(generate_series(0, 2 * {truth.N_MEDIA})) AS _t(o)
+    WHERE o % 2 = 1 AND {n} % 7 = 0
+    """.strip()
+
+
 def image_pixel_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pixel decode + stats, restricted to the BLANK-page subset
     (media id % 7 = 0) where the contract derives the exact non-white

@@ -235,25 +235,41 @@ def sample_stratified_sql(d: str, table: str = "documents") -> str:
 
 
 PACK_TOKEN_BUDGET = 512
-PACK_GROUPS = 16
+PACK_GROUPS = 16  # default only — pass ``groups ≈ shuffle parallelism`` in production
 
 
-def pack_sequences_sql(d: str, table: str = "documents") -> str:
-    """Sequence packing for training batches: contiguous greedy packing
-    of documents into bins of ≤{PACK_TOKEN_BUDGET} whitespace tokens
-    (oversize docs get their own bin), computed as a running token sum.
+def pack_sequences_sql(
+    d: str, table: str = "documents", groups: int | None = None
+) -> str:
+    """Sequence packing for training batches: contiguous packing of
+    documents into bins via a running token sum,
+    ``bin_no = exclusive-prefix-sum DIV {PACK_TOKEN_BUDGET}``.
+
+    **Bin-size contract (spillover semantics):** a bin's token total is
+    < budget + the tokens of its last doc — the document straddling a
+    budget boundary stays in the bin it started in (exclusive-prefix
+    binning), so a bin can exceed the budget by up to one document.
+    A batch builder that needs a HARD cap must truncate oversize docs
+    first (every bin is then < 2×budget) or split straddlers
+    downstream; true greedy bin-close packing is a sequential
+    recurrence that neither engine's window vocabulary expresses, and
+    the one-doc spillover is the standard trade for a fully parallel
+    prefix-sum plan.
 
     Scale shape: the running sum is windowed PER pack_group
-    (doc_id % {PACK_GROUPS}) — bounded-width partitions, never a global
-    single-partition sort. On a cluster, set PACK_GROUPS ≈ shuffle
-    parallelism; bins are (pack_group, bin_no) pairs so group-local
-    packing composes. bin_no = exclusive-prefix-sum DIV budget."""
+    (doc_id % groups) — bounded-width partitions, never a global
+    single-partition sort. ``groups`` defaults to {PACK_GROUPS} (the
+    oracle corpus value, keeping gate hashes stable); it caps the
+    stage's parallelism, so production callers pass
+    ``groups ≈ spark.sql.shuffle.partitions``. Bins are
+    (pack_group, bin_no) pairs, so group-local packing composes."""
+    g = PACK_GROUPS if groups is None else int(groups)
     n_tok = D.ws_token_count(d, "text")
     win = "PARTITION BY pack_group ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     bin_no = D.int_div(d, "(run_total - n_tokens)", str(PACK_TOKEN_BUDGET))
     return f"""
     WITH toks AS (
-        SELECT doc_id, doc_id % {PACK_GROUPS} AS pack_group,
+        SELECT doc_id, doc_id % {g} AS pack_group,
                CAST({n_tok} AS BIGINT) AS n_tokens
         FROM {table}
     ),

@@ -78,7 +78,9 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     out = extract_documents(docs, pages, cfg)
-    manifests = M.write_extracted(out, args.output, n_buckets=args.buckets, mode=write_mode)
+    manifests = M.write_extracted(
+        out, args.output, n_buckets=args.buckets, mode=write_mode, resume=args.resume
+    )
     wall = time.perf_counter() - t0
 
     n_docs = sum(m["n_docs"] for m in manifests.values())

@@ -57,7 +57,11 @@ def _atomic_write_json(path: str, payload: dict) -> None:
 
 
 def write_extracted(
-    extracted: DataFrame, out_dir: str, n_buckets: int = 16, mode: str = "overwrite"
+    extracted: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+    resume: bool = False,
 ) -> dict:
     """Write extraction output partitioned by doc-hash bucket, then emit
     one lineage manifest per bucket (counts, metric sums, order-
@@ -74,6 +78,21 @@ def write_extracted(
     """
     df = with_bucket(extracted, n_buckets)
     data_dir = os.path.join(out_dir, DATA_DIR)
+    if mode == "overwrite" and not resume:
+        # A fresh (non-resume) overwrite means "replace the output":
+        # clear stale bucket partitions + manifests from earlier runs
+        # first. Dynamic partition overwrite only replaces the buckets
+        # present in THIS write, so a stale bucket left by a previous
+        # larger/different run would be re-read into the stats and
+        # re-manifested as valid, inflating reported n_docs/throughput
+        # (round-2 advisor finding). Resume runs must NOT do this —
+        # completed buckets are exactly what they preserve.
+        import shutil
+
+        for sub in (DATA_DIR, MANIFEST_DIR):
+            p = os.path.join(out_dir, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
     if mode == "append":
         # doc-level resume path: the frame holds only the missing docs of
         # partially-written buckets — dynamic overwrite would REPLACE each
@@ -170,8 +189,14 @@ def resume_filter(
     if done:
         bucketed = bucketed.where(~F.col("bucket").isin(sorted(done)))
     if granularity == "doc":
+        import glob
+
         data_dir = os.path.join(out_dir, DATA_DIR)
-        if os.path.isdir(data_dir):
+        # a crash BEFORE the first file commit leaves data_dir holding
+        # only _temporary/ — reading it throws AnalysisException (unable
+        # to infer schema) and the recovery path itself dies (round-2
+        # advisor finding). Only anti-join when committed files exist.
+        if glob.glob(os.path.join(data_dir, "bucket=*", "*.parquet")):
             written = docs.sparkSession.read.parquet(data_dir).select("doc_id", "bucket")
             if done:
                 # partition-pruned: only incomplete buckets are scanned

@@ -108,10 +108,42 @@ class TestManifestsResume:
         buckets_before = {r["bucket"] for r in full.select("bucket").distinct().collect()}
         # simulate a resume that re-processes only bucket 3
         subset = M.with_bucket(extracted, 8).where(F.col("bucket") == 3).drop("bucket")
-        M.write_extracted(subset, out, n_buckets=8)
+        M.write_extracted(subset, out, n_buckets=8, resume=True)
         after = spark.read.parquet(os.path.join(out, M.DATA_DIR))
         assert {r["bucket"] for r in after.select("bucket").distinct().collect()} == buckets_before
         assert after.count() == n_total
+
+    def test_fresh_overwrite_clears_stale_buckets(self, spark, extracted, tmp_path):
+        """A NON-resume overwrite into a dir holding buckets from a
+        previous larger run must not re-manifest the stale buckets as
+        valid (dynamic overwrite never deletes partitions absent from
+        the write — round-2 advisor finding): reported stats must
+        describe exactly this write."""
+        from tesseract_glue_spark.sources import manifests as M
+
+        out = str(tmp_path / "out_stale")
+        M.write_extracted(extracted, out, n_buckets=8)  # previous big run
+        subset = M.with_bucket(extracted, 8).where(F.col("bucket") == 3).drop("bucket")
+        n_subset = subset.count()
+        m = M.write_extracted(subset, out, n_buckets=8)  # fresh run, dirty dir
+        assert sum(v["n_docs"] for v in m.values()) == n_subset
+        data = spark.read.parquet(os.path.join(out, M.DATA_DIR))
+        assert data.count() == n_subset
+        assert M.done_buckets(out) == set(m)
+
+    def test_doc_resume_survives_crash_before_first_commit(self, spark, tmp_path):
+        """Crash before ANY parquet commit leaves data/ holding only
+        _temporary/ — doc-granular resume must still start (it used to
+        die inferring a schema from zero files; round-2 advisor
+        finding) and process the full corpus."""
+        from tesseract_glue_spark.fixtures import interleaved_documents
+        from tesseract_glue_spark.sources import manifests as M
+
+        out = str(tmp_path / "out_crash")
+        os.makedirs(os.path.join(out, M.DATA_DIR, "_temporary", "0"))
+        docs = interleaved_documents(spark, SF_DIR)
+        todo = M.resume_filter(docs, out, n_buckets=8, granularity="doc")
+        assert todo.count() == docs.count()
 
 
 @pytest.fixture(scope="module")
@@ -228,6 +260,39 @@ class TestSqlOperatorParity:
 
         for name, (b, tabs) in RELATIONAL_OPS.items():
             assert self._check(spark, duck, b, tabs) > 0, name
+
+    def test_pack_sequences_groups_parameter(self, spark, duck):
+        """`groups` (production: ≈ shuffle parallelism) must flow
+        through both dialects identically and widen the packing
+        parallelism beyond the oracle default of PACK_GROUPS=16; the
+        spillover contract (bin total < budget + its last doc's tokens)
+        must hold per bin."""
+        from tesseract_glue_spark.functions import dialect as D
+        from tesseract_glue_spark.operators.registry import _register
+        from tesseract_glue_spark.operators.text import (
+            PACK_GROUPS,
+            PACK_TOKEN_BUDGET,
+            pack_sequences_sql,
+        )
+
+        _register(spark, SF_DIR, ("documents",))
+        got = spark.sql(pack_sequences_sql(D.SPARK, groups=64)).toPandas()
+        want = duck.sql(pack_sequences_sql(D.DUCKDB, groups=64)).df()
+
+        def norm(p):
+            p = p.reindex(sorted(p.columns), axis=1)
+            return p.sort_values(by=list(p.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+        assert got["pack_group"].nunique() > PACK_GROUPS
+        # spillover contract per (pack_group, bin_no) — "last" is the
+        # doc that straddles the boundary (packing order = doc_id)
+        got = got.sort_values(["pack_group", "doc_id"])
+        agg = got.groupby(["pack_group", "bin_no"]).agg(
+            total=("n_tokens", "sum"),
+            last=("n_tokens", lambda s: s.iloc[-1]),
+        )
+        assert (agg["total"] < PACK_TOKEN_BUDGET + agg["last"]).all()
 
     def test_brute_force_scale_gate(self, spark, tmp_path):
         """Above BRUTE_CAP rows the two O(n²) recall baselines must
