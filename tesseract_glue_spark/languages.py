@@ -113,19 +113,36 @@ def stage_asset(data: bytes, destination: str, md5_hash: str | None = None) -> s
     return destination
 
 
+PROGRESS_INTERVAL_S = 0.5  # reference prints every 0.5 s (languages.py:194-199)
+
+
+def _default_progress(destination: str, done: int, total: int | None) -> None:
+    name = os.path.basename(destination)
+    if total:
+        print(f"{name}: {done:,} of {total:,} bytes ({100 * done // total}%)", flush=True)
+    else:
+        print(f"{name}: {done:,} bytes", flush=True)
+
+
 def download_asset(
     url: str,
     destination: str,
     md5_hash: str | None = None,
     chunk_size: int = 1 << 14,
     opener=None,
+    progress=None,
+    clock=None,
 ) -> str:
-    """Chunked download with streaming MD5, skip-if-valid cache, and
-    atomic rename — the driver-side asset-fetch step (traineddata packs
-    before ``addFile`` distribution; ``languages.py:158-211`` semantics).
+    """Chunked download with streaming MD5, skip-if-valid cache, atomic
+    rename, and 0.5 s-interval progress reporting — the driver-side
+    asset-fetch step (traineddata packs before ``addFile`` distribution;
+    ``languages.py:158-211`` semantics, progress cadence per
+    ``languages.py:194-199``).
 
-    ``opener`` is injectable for hermetic tests (defaults to
-    ``urllib.request.urlopen``); tasks never call this — only the driver.
+    ``opener`` (defaults to ``urllib.request.urlopen``), ``progress``
+    (``callable(done_bytes, total_or_None)``; ``False`` silences; the
+    default prints) and ``clock`` (monotonic seconds) are injectable
+    for hermetic tests; tasks never call this — only the driver.
     """
     if md5_hash and is_file_valid(destination, md5_hash):
         return destination
@@ -133,14 +150,36 @@ def download_asset(
         from urllib import request
 
         opener = request.urlopen
+    if clock is None:
+        import time
+
+        clock = time.monotonic
+    if progress is None:
+        progress = lambda done, total: _default_progress(destination, done, total)
     os.makedirs(os.path.dirname(destination) or ".", exist_ok=True)
     digest = hashlib.md5()
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(destination) or ".", suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as out, opener(url) as resp:
+            headers = getattr(resp, "headers", None)
+            total = None
+            if headers is not None:
+                try:
+                    total = int(headers.get("Content-Length"))
+                except (TypeError, ValueError):
+                    total = None
+            done = 0
+            last_report = clock()
             for chunk in iter(lambda: resp.read(chunk_size), b""):
                 digest.update(chunk)
                 out.write(chunk)
+                done += len(chunk)
+                now = clock()
+                if progress and now - last_report >= PROGRESS_INTERVAL_S:
+                    progress(done, total)
+                    last_report = now
+            if progress and done:
+                progress(done, total)  # final 100% report
         if md5_hash and digest.hexdigest() != md5_hash:
             raise ValueError(
                 f"downloaded asset hash mismatch: expected {md5_hash}, got {digest.hexdigest()}"

@@ -330,6 +330,55 @@ class TestDownloader:
             raise AssertionError("network touched despite valid cache")
         assert download_asset("http://x/eng", dest, md5, opener=exploding_opener) == dest
 
+    def test_download_progress_interval(self, tmp_path):
+        """Progress is reported at most every PROGRESS_INTERVAL_S (the
+        reference prints every 0.5 s, languages.py:194-199) plus one
+        final 100% report — injectable clock, fully hermetic."""
+        import hashlib
+
+        from tesseract_glue_spark.languages import PROGRESS_INTERVAL_S, download_asset
+
+        payload = b"x" * (10 * 1024)  # 10 chunks at chunk_size=1024
+        md5 = hashlib.md5(payload).hexdigest()
+        t = {"now": 0.0}
+
+        def clock():
+            t["now"] += 0.2  # 5 chunks per 1.0s → reports gated to ~2/s
+            return t["now"]
+
+        calls: list[tuple[int, int | None]] = []
+        dest = str(tmp_path / "prog.traineddata")
+        download_asset(
+            "http://x/prog",
+            dest,
+            md5,
+            chunk_size=1024,
+            opener=self._opener_for(payload),
+            progress=lambda done, total: calls.append((done, total)),
+            clock=clock,
+        )
+        assert calls, "no progress reported"
+        assert calls[-1][0] == len(payload)  # final report covers 100%
+        # gated: 10 chunks × 0.2s = 2.0s of transfer → ≤ 2.0/0.5 + 1 reports
+        assert len(calls) <= int(2.0 / PROGRESS_INTERVAL_S) + 1
+        assert all(a[0] < b[0] for a, b in zip(calls, calls[1:]))  # monotone
+
+    def test_download_progress_disabled(self, tmp_path, capsys):
+        import hashlib
+
+        from tesseract_glue_spark.languages import download_asset
+
+        payload = b"y" * 4096
+        md5 = hashlib.md5(payload).hexdigest()
+        download_asset(
+            "http://x/quiet",
+            str(tmp_path / "q.traineddata"),
+            md5,
+            opener=self._opener_for(payload),
+            progress=False,
+        )
+        assert capsys.readouterr().out == ""
+
     def test_download_hash_mismatch_cleans_up(self, tmp_path):
         from tesseract_glue_spark.languages import download_asset
 
