@@ -70,10 +70,14 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict[str, float] = {"n_docs": n_docs, "n_pages": n_pages, "cpus": cpus}
 
-    def timed(name: str, fn, runs: int = 1) -> None:
+    def timed(name: str, fn, runs: int = 2) -> None:
         # one untimed warmup per query: first execution is dominated by
         # Janino codegen compilation + JVM JIT (measured 5x the
-        # steady-state wall), which a long-lived cluster pays once
+        # steady-state wall), which a long-lived cluster pays once.
+        # best-of-2 timed runs: this host shows ~12% hypervisor steal
+        # and one-sided slowdowns up to 1.9x between identical runs
+        # (BENCH.md header) — the r2 driver run's apparent 1.2-1.5x
+        # regressions on the dedup trio were exactly this noise
         fn()
         best = None
         for _ in range(max(runs, 1)):
