@@ -144,6 +144,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_components"] = dedup_components
     # composed pipeline: extraction → quality scoring of extracted text
     q["extract_quality_report"] = extract_quality_report_spark
+    # round-3 north_rule surface: main-content extraction (HTML DOM
+    # heuristics + PDF layout parse) over synthesized web documents
+    from tesseract_glue_spark.operators.web import (
+        html_main_content_spark,
+        pdf_spans_spark,
+        pdf_text_extract_spark,
+    )
+
+    q["html_main_content"] = html_main_content_spark
+    q["pdf_text_extract"] = pdf_text_extract_spark
+    q["pdf_spans"] = pdf_spans_spark
 
     for name, (builder, tables) in _sql_ops().items():
         if name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs"):
@@ -197,6 +208,15 @@ def oracle_sql() -> dict[str, str]:
     from tesseract_glue_spark.operators.dedup import dedup_components_oracle_sql
 
     o["dedup_components"] = dedup_components_oracle_sql()
+    from tesseract_glue_spark.operators.web import (
+        html_main_content_oracle_sql,
+        pdf_spans_oracle_sql,
+        pdf_text_extract_oracle_sql,
+    )
+
+    o["html_main_content"] = html_main_content_oracle_sql()
+    o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
+    o["pdf_spans"] = pdf_spans_oracle_sql()
     for name, (builder, _tables) in _sql_ops().items():
         o[name] = oracle(builder)
     return o

@@ -1,0 +1,321 @@
+"""Main-content extraction operators (round-3 north_rule surface:
+"HTML boilerplate strip, PDF/layout parse, DOM heuristics").
+
+Gate design follows the repo's synthetic-truth pattern (`functions/
+truth.py`, `multimodal.synthetic_media_blobs`): the web corpus is
+derived *deterministically from the driver's ``documents`` table* — an
+HTML page is synthesized around each doc's text by a shared dual-dialect
+SQL template, a PDF is synthesized from the same text inside the workers
+— so the REAL extraction kernels (:mod:`tesseract_glue_spark.web`) run
+end-to-end in Spark while DuckDB computes the expected output in closed
+form from the same contract. The kernels' DOM/PDF edge cases (malformed
+nesting, entities, escapes, TJ arrays, kerning, uncompressed streams)
+are covered separately by handwritten adversarial fixtures in
+``tests/test_web.py`` so generator and parser cannot mirror each other's
+bugs.
+
+Scale shape: both operators are one projection → ``mapInPandas`` over a
+round-robin fan-out (same AQE-coalescing trap handling as the OCR
+stage) — no shuffle beyond the explicit fan-out, no driver collects, no
+per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from tesseract_glue_spark.functions import dialect as D
+
+# ------------------------------------------------------------------ HTML
+
+# Boilerplate fragments of the synthetic page (constants shared by the
+# generator template and the oracle's expected-counts arithmetic).
+_NAV = '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>'
+_ASIDE = "<aside>limited time offer click here</aside>"
+_SHARE = '<div><a href="#">tw</a> <a href="#">fb</a> <a href="#">rss</a></div>'
+_FOOTER = '<footer><a href="/terms">terms</a> <a href="/privacy">privacy</a></footer>'
+_HEAD = (
+    "<html><head><title>synthetic</title><style>body{margin:0}</style>"
+    "<script>var x = 1;</script></head><body>"
+)
+_INLINE_LINK = ' see also <a href="/ref">reference docs</a>'
+_INLINE_LINK_TEXT = " see also reference docs"
+
+# doc-derived pieces (same SQL text in both dialects)
+_H1 = "trim(substr(text, 1, 20))"
+_P2 = "trim(reverse(substr(text, 1, 60)))"
+
+
+def html_corpus_expr() -> str:
+    """SQL expression (valid in BOTH dialects) building the synthetic
+    HTML page for one ``documents`` row: fixed chrome (nav/footer,
+    script+style heads), an article with an h1 + main paragraph with one
+    inline link, and doc_id-dependent variants — an ``<aside>`` promo
+    (doc_id%3=0), a second paragraph (doc_id%2=0), and a link-list share
+    bar that only the density rule can reject (doc_id%3=1)."""
+    return (
+        f"'{_HEAD}{_NAV}'"
+        f" || CASE WHEN doc_id % 3 = 0 THEN '{_ASIDE}' ELSE '' END"
+        f" || '<article><h1>' || {_H1} || '</h1>'"
+        f" || '<p>' || text || '{_INLINE_LINK}</p>'"
+        f" || CASE WHEN doc_id % 2 = 0 THEN '<p>' || {_P2} || '</p>' ELSE '' END"
+        f" || CASE WHEN doc_id % 3 = 1 THEN '{_SHARE}' ELSE '' END"
+        f" || '</article>{_FOOTER}</body></html>'"
+    )
+
+
+def html_corpus_sql(d: str, table: str = "documents") -> str:
+    return f"SELECT doc_id, {html_corpus_expr()} AS html FROM {table}"
+
+
+HTML_MAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("main_text", T.StringType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("n_content_blocks", T.LongType()),
+        T.StructField("link_density_x10k", T.LongType()),
+    ]
+)
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    from tesseract_glue_spark.sources.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    n = 4 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def html_main_content(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) → main-content record via the DOM-heuristic
+    kernel, Arrow-batched."""
+    from tesseract_glue_spark.web.html_main import extract_main
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                r = extract_main(html)
+                rows.append(
+                    (
+                        doc_id,
+                        r["main_text"],
+                        r["n_blocks"],
+                        r["n_content_blocks"],
+                        r["link_density_x10k"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in HTML_MAIN_SCHEMA.fields])
+
+    return _fan_out(pages.select("doc_id", "html")).mapInPandas(
+        run, schema=HTML_MAIN_SCHEMA
+    )
+
+
+def html_main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: synthesize the HTML corpus (shared SQL template) and
+    run the real extractor. ``link_density_x10k`` is excluded from the
+    oracled projection (its denominator counts raw markup-interleaved
+    chars — checked in pytest instead, where the fixture is explicit)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    corpus = spark.sql(html_corpus_sql(D.SPARK))
+    return html_main_content(corpus).select(
+        "doc_id", "main_text", "n_blocks", "n_content_blocks"
+    )
+
+
+def html_main_content_oracle_sql(table: str = "documents") -> str:
+    """Expected output in closed form from the corpus-construction
+    contract: content = h1 (heading exemption) + main paragraph (text +
+    inline link text, density ~0.16 < 1/3) + optional second paragraph;
+    everything else is chrome (nav/aside/footer) or link-density
+    boilerplate (share bar). Block count = nav + optional aside + h1 +
+    p1 + optional p2 + optional share + footer."""
+    exp_main = (
+        f"{_H1} || chr(10) || text || '{_INLINE_LINK_TEXT}'"
+        f" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || {_P2} ELSE '' END"
+    )
+    n_blocks = (
+        "4 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"
+        " + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"
+        " + CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END"
+    )
+    return f"""
+    SELECT doc_id,
+           {exp_main} AS main_text,
+           CAST({n_blocks} AS BIGINT) AS n_blocks,
+           CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_content_blocks
+    FROM {table}
+    """.strip()
+
+
+# ------------------------------------------------------------------- PDF
+
+# Corpus-construction contract: page 1 carries the doc text as three
+# 40-char chunks placed out of emission order — c0 top-left, c2 top-right
+# (same line as c0), c1 on the line below — so the reading-order sort is
+# load-bearing; page 2 carries a derivable marker line. Chunks whose
+# trimmed text is empty are not drawn.
+_CHUNK = 40
+_L0_Y, _L1_Y = 720.0, 700.0
+_C0_X, _C2_X = 72.0, 300.0
+
+
+def synthesize_doc_pdf(doc_id: int, text: str) -> bytes:
+    from tesseract_glue_spark.web.pdf import encode_pdf
+
+    c0, c1, c2 = text[:_CHUNK], text[_CHUNK : 2 * _CHUNK], text[2 * _CHUNK : 3 * _CHUNK]
+    page1 = []
+    if c1.strip():
+        page1.append((_C0_X, _L1_Y, c1))
+    if c2.strip():
+        page1.append((_C2_X, _L0_Y, c2))
+    if c0.strip():
+        page1.append((_C0_X, _L0_Y, c0))
+    page2 = [(_C0_X, _L0_Y, f"doc {doc_id} has {len(text)} chars")]
+    return encode_pdf([page1, page2])
+
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("page_no", T.LongType()),
+        T.StructField("page_text", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+PDF_SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("page_no", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("seg_text", T.StringType()),
+    ]
+)
+
+
+def pdf_extract_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, pdf: binary) → per-page reading-order text. Undecodable
+    PDFs yield a placeholder row (status='decode_error'), never a silent
+    drop — same corruption-screen policy as the image path."""
+    from tesseract_glue_spark.web.pdf import PdfDecodeError, extract_pdf_spans, reading_order_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, blob in zip(pdf_batch["doc_id"], pdf_batch["pdf"]):
+                try:
+                    spans = extract_pdf_spans(bytes(blob or b""))
+                except PdfDecodeError:
+                    rows.append((doc_id, 0, "", "decode_error"))
+                    continue
+                for page_no, page_text in reading_order_text(spans):
+                    rows.append((doc_id, page_no, page_text, "ok"))
+            yield pd.DataFrame(rows, columns=[f.name for f in PDF_TEXT_SCHEMA.fields])
+
+    return _fan_out(docs.select("doc_id", "pdf")).mapInPandas(run, schema=PDF_TEXT_SCHEMA)
+
+
+def pdf_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, pdf: binary) → raw positioned spans (pre-layout),
+    x/y floored to ints for exact cross-engine hashing."""
+    from tesseract_glue_spark.web.pdf import PdfDecodeError, extract_pdf_spans
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, blob in zip(pdf_batch["doc_id"], pdf_batch["pdf"]):
+                try:
+                    spans = extract_pdf_spans(bytes(blob or b""))
+                except PdfDecodeError:
+                    continue
+                for page_no, x, y, txt in spans:
+                    rows.append((doc_id, page_no, int(x), int(y), txt))
+            yield pd.DataFrame(rows, columns=[f.name for f in PDF_SPANS_SCHEMA.fields])
+
+    return _fan_out(docs.select("doc_id", "pdf")).mapInPandas(run, schema=PDF_SPANS_SCHEMA)
+
+
+def _synthetic_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pdf) synthesized worker-side from the documents table —
+    the binary never exists as SQL, but every byte of it derives from
+    (doc_id, text), so the parse output has a closed-form oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = [
+                (doc_id, synthesize_doc_pdf(int(doc_id), txt or ""))
+                for doc_id, txt in zip(pdf_batch["doc_id"], pdf_batch["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("pdf", T.BinaryType())]
+    )
+    return _fan_out(docs).mapInPandas(gen, schema=schema)
+
+
+def pdf_text_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pdf_extract_text(_synthetic_pdf_corpus(spark, sf_dir)).select(
+        "doc_id", "page_no", "page_text"
+    )
+
+
+def _chunk_exprs() -> tuple[str, str, str]:
+    c0 = f"substr(text, 1, {_CHUNK})"
+    c1 = f"substr(text, {_CHUNK + 1}, {_CHUNK})"
+    c2 = f"substr(text, {2 * _CHUNK + 1}, {_CHUNK})"
+    return c0, c1, c2
+
+
+def pdf_text_extract_oracle_sql(table: str = "documents") -> str:
+    """Expected reading-order text from the chunk-placement contract:
+    line 1 = trim(c0) + ' ' + trim(c2) (left→right on y=720), line 2 =
+    trim(c1); empty trimmed chunks drop out (concat_ws skips NULLs)."""
+    c0, c1, c2 = _chunk_exprs()
+    line1 = f"concat_ws(' ', nullif(trim({c0}), ''), nullif(trim({c2}), ''))"
+    page1 = f"concat_ws(chr(10), nullif({line1}, ''), nullif(trim({c1}), ''))"
+    page2 = "'doc ' || CAST(doc_id AS VARCHAR) || ' has ' || CAST(length(text) AS VARCHAR) || ' chars'"
+    return f"""
+    SELECT doc_id, CAST(1 AS BIGINT) AS page_no, {page1} AS page_text
+    FROM {table} WHERE {page1} <> ''
+    UNION ALL
+    SELECT doc_id, CAST(2 AS BIGINT) AS page_no, {page2} AS page_text
+    FROM {table}
+    """.strip()
+
+
+def pdf_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pdf_spans(_synthetic_pdf_corpus(spark, sf_dir))
+
+
+def pdf_spans_oracle_sql(table: str = "documents") -> str:
+    """Raw spans exactly as drawn (untrimmed chunk text, int positions),
+    one UNION branch per placement rule."""
+    c0, c1, c2 = _chunk_exprs()
+    marker = "'doc ' || CAST(doc_id AS VARCHAR) || ' has ' || CAST(length(text) AS VARCHAR) || ' chars'"
+    return f"""
+    SELECT doc_id, CAST(1 AS BIGINT) AS page_no, CAST({int(_C0_X)} AS BIGINT) AS x,
+           CAST({int(_L0_Y)} AS BIGINT) AS y, {c0} AS seg_text
+    FROM {table} WHERE trim({c0}) <> ''
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT), CAST({int(_C2_X)} AS BIGINT),
+           CAST({int(_L0_Y)} AS BIGINT), {c2}
+    FROM {table} WHERE trim({c2}) <> ''
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT), CAST({int(_C0_X)} AS BIGINT),
+           CAST({int(_L1_Y)} AS BIGINT), {c1}
+    FROM {table} WHERE trim({c1}) <> ''
+    UNION ALL
+    SELECT doc_id, CAST(2 AS BIGINT), CAST({int(_C0_X)} AS BIGINT),
+           CAST({int(_L0_Y)} AS BIGINT), {marker}
+    FROM {table}
+    """.strip()

@@ -1,0 +1,189 @@
+"""Main-content extraction: HTML DOM heuristics + PDF layout parse.
+
+Kernel tests use handwritten adversarial fixtures (NOT the synthetic
+gate corpus) so the corpus generator and the parsers cannot mirror each
+other's bugs; the Spark tests drive the distributed path end-to-end
+against the DuckDB oracles at sf0.001.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tesseract_glue_spark.web.html_main import (
+    LABEL_CHROME,
+    LABEL_CONTENT,
+    LABEL_LINKY,
+    LABEL_SHORT,
+    extract_main,
+    segment_blocks,
+)
+from tesseract_glue_spark.web.pdf import (
+    PdfDecodeError,
+    encode_pdf,
+    extract_pdf_spans,
+    reading_order_text,
+)
+
+from tests.conftest import SF_DIR, canonical_csv
+
+LONG = "this paragraph easily clears the twenty five char floor"
+
+
+class TestHtmlBlocks:
+    def test_script_style_head_invisible(self):
+        html = (
+            "<html><head><title>t</title><style>p{x:1}</style></head><body>"
+            f"<script>if(1<2) document.write('<p>fake</p>');</script><p>{LONG}</p>"
+        )
+        blocks = segment_blocks(html)
+        assert [b.text for b in blocks] == [LONG]
+
+    def test_entities_decoded(self):
+        blocks = segment_blocks(f"<p>{LONG} &amp; more &#8212; d&eacute;j&agrave;</p>")
+        assert blocks[0].text == f"{LONG} & more — déjà"
+
+    def test_chrome_sections_are_boilerplate(self):
+        html = (
+            f"<nav>{LONG}</nav><header>{LONG}</header><p>{LONG}</p>"
+            f"<aside>{LONG}</aside><footer>{LONG}</footer>"
+        )
+        labels = [b.label for b in segment_blocks(html)]
+        assert labels == [LABEL_CHROME, LABEL_CHROME, LABEL_CONTENT, LABEL_CHROME, LABEL_CHROME]
+
+    def test_link_density_rejects_menus_keeps_inline_links(self):
+        menu = '<div><a href="/a">alpha</a> <a href="/b">beta</a> <a href="/c">gamma</a></div>'
+        para = f'<p>{LONG} with one <a href="/r">link</a> inline</p>'
+        blocks = segment_blocks(menu + para)
+        assert blocks[0].label == LABEL_LINKY
+        assert blocks[1].label == LABEL_CONTENT
+        assert blocks[1].text.endswith("with one link inline")
+
+    def test_heading_exemption_and_sandwich(self):
+        html = f"<h2>short headline</h2><p>{LONG}</p><p>tiny caption</p><p>{LONG}</p><p>tail note</p>"
+        labels = [b.label for b in segment_blocks(html)]
+        # heading exempt from length; caption sandwiched between content
+        # is promoted; the trailing short block (no content after) is not
+        assert labels == [LABEL_CONTENT, LABEL_CONTENT, LABEL_CONTENT, LABEL_CONTENT, LABEL_SHORT]
+
+    def test_malformed_markup_survives(self):
+        html = f"<div><p>{LONG}</div></p></footer><p>{LONG}"
+        r = extract_main(html)
+        assert r["n_content_blocks"] == 2
+        assert r["main_text"].count(LONG) == 2
+
+    def test_empty_and_none(self):
+        assert extract_main("")["n_blocks"] == 0
+        assert extract_main(None)["main_text"] == ""
+
+    def test_link_density_x10k_exact(self):
+        # raw chars: 'abcde'(link,5) + ' tail'(5) => 10 raw, 5 link
+        html = '<p><a href="/">abcde</a> tail</p>'
+        assert extract_main(html)["link_density_x10k"] == 5000
+
+
+class TestPdfCodec:
+    def test_roundtrip_compressed_and_uncompressed(self):
+        pages = [[(72.0, 720.0, "hello (world)"), (72.0, 700.0, "line \\ two")]]
+        for compress in (True, False):
+            spans = extract_pdf_spans(encode_pdf(pages, compress=compress))
+            assert spans == [(1, 72.0, 720.0, "hello (world)"), (1, 72.0, 700.0, "line \\ two")]
+
+    def test_multipage_order_follows_kids(self):
+        pdf = encode_pdf([[(72, 700, "first")], [(72, 700, "second")]])
+        assert [(p, t) for p, _, _, t in extract_pdf_spans(pdf)] == [
+            (1, "first"),
+            (2, "second"),
+        ]
+
+    def test_handwritten_tj_tm_tstar_escapes_no_xref(self):
+        raw = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            b"4 0 obj << >>\nstream\n"
+            b"BT 1 0 0 1 100 650 Tm (oct\\141l \\(ok\\)) Tj ET\n"
+            b"BT 14 TL 72 700 Td [(Hel)-20(lo )(world)] TJ T* (below) Tj ET\n"
+            b"endstream\nendobj\n"
+        )
+        spans = extract_pdf_spans(raw)
+        assert (1, 100.0, 650.0, "octal (ok)") in spans
+        assert (1, 72.0, 700.0, "Hello world") in spans
+        assert (1, 72.0, 686.0, "below") in spans
+
+    def test_reading_order_xy(self):
+        spans = [(1, 300.0, 720.0, "right"), (1, 72.0, 700.0, "lower"), (1, 72.0, 721.0, "left")]
+        assert reading_order_text(spans) == [(1, "left right\nlower")]
+
+    def test_typed_errors(self):
+        with pytest.raises(PdfDecodeError):
+            extract_pdf_spans(b"GIF89a not a pdf")
+        with pytest.raises(PdfDecodeError):
+            extract_pdf_spans(b"%PDF-1.4\nno pages here")
+        # corrupt Flate payload inside a valid skeleton
+        good = bytearray(encode_pdf([[(72, 700, "x" * 50)]]))
+        i = good.index(b"stream\n") + len(b"stream\n")
+        good[i + 5 : i + 15] = b"\x00" * 10
+        with pytest.raises(PdfDecodeError):
+            extract_pdf_spans(bytes(good))
+
+    def test_stream_payload_containing_keywords(self):
+        # adversarial: the DRAWN TEXT contains PDF structural keywords;
+        # xref + /Length slicing must not be confused by them once they
+        # appear (uncompressed) inside the stream payload
+        evil = "endstream endobj 5 0 obj stream"
+        spans = extract_pdf_spans(encode_pdf([[(72, 700, evil)]], compress=False))
+        assert spans == [(1, 72.0, 700.0, evil)]
+
+
+@pytest.mark.usefixtures("spark")
+class TestWebSpark:
+    def _oracle(self, sql: str):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        return con.execute(sql).df()
+
+    def test_html_main_content_matches_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            html_main_content_oracle_sql,
+            html_main_content_spark,
+        )
+
+        got = html_main_content_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(html_main_content_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_pdf_text_extract_matches_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            pdf_text_extract_oracle_sql,
+            pdf_text_extract_spark,
+        )
+
+        got = pdf_text_extract_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(pdf_text_extract_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_pdf_spans_matches_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            pdf_spans_oracle_sql,
+            pdf_spans_spark,
+        )
+
+        got = pdf_spans_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(pdf_spans_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_pdf_decode_error_yields_placeholder_row(self, spark):
+        from tesseract_glue_spark.operators.web import pdf_extract_text
+
+        docs = spark.createDataFrame(
+            [(1, bytearray(b"not a pdf")), (2, bytearray(encode_pdf([[(72, 700, "fine")]])))],
+            schema="doc_id LONG, pdf BINARY",
+        )
+        rows = {r["doc_id"]: r for r in pdf_extract_text(docs).collect()}
+        assert rows[1]["status"] == "decode_error" and rows[1]["page_no"] == 0
+        assert rows[2]["status"] == "ok" and rows[2]["page_text"] == "fine"
