@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-3 north_rule surface: main-content extraction (HTML DOM
     # heuristics + PDF layout parse) over synthesized web documents
     from tesseract_glue_spark.operators.web import (
+        extract_web_flat_spark,
         html_main_content_spark,
         pdf_spans_spark,
         pdf_text_extract_spark,
@@ -155,6 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["html_main_content"] = html_main_content_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
     q["pdf_spans"] = pdf_spans_spark
+    # composed flagship variant: interleaved web docs — text spans are
+    # HTML pages (DOM-stripped), media spans are page images (OCR'd)
+    q["extract_web_flat"] = extract_web_flat_spark
 
     for name, (builder, tables) in _sql_ops().items():
         if name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs"):
@@ -209,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["dedup_components"] = dedup_components_oracle_sql()
     from tesseract_glue_spark.operators.web import (
+        extract_web_flat_oracle_sql,
         html_main_content_oracle_sql,
         pdf_spans_oracle_sql,
         pdf_text_extract_oracle_sql,
@@ -217,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
     o["html_main_content"] = html_main_content_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
     o["pdf_spans"] = pdf_spans_oracle_sql()
+    o["extract_web_flat"] = extract_web_flat_oracle_sql()
     for name, (builder, _tables) in _sql_ops().items():
         o[name] = oracle(builder)
     return o

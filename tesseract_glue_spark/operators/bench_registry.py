@@ -52,4 +52,11 @@ def register(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
             runner = spark_runner(builder, tables=tables)
         out[name] = (lambda r=runner: r(spark, sf_dir).count())
     out["ann_topk_ivf"] = lambda: ann_topk_ivf(spark, sf_dir).count()
+    from tesseract_glue_spark.operators.web import (
+        html_main_content_spark,
+        pdf_text_extract_spark,
+    )
+
+    out["html_main_content"] = lambda: html_main_content_spark(spark, sf_dir).count()
+    out["pdf_text_extract"] = lambda: pdf_text_extract_spark(spark, sf_dir).count()
     return out

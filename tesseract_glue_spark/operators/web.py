@@ -26,6 +26,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tesseract_glue_spark.functions import dialect as D
@@ -295,6 +296,115 @@ def pdf_text_extract_oracle_sql(table: str = "documents") -> str:
 
 def pdf_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_spans(_synthetic_pdf_corpus(spark, sf_dir))
+
+
+# ------------------------------------------- composed web-doc extraction
+
+# Per-span HTML wrapper for the web-interleaved corpus: every TEXT span
+# of the interleaved documents carries a full page (chrome + article)
+# whose only content is the span's chunk, held in an <h1> (chunks are
+# CHUNK=24 chars — under the paragraph length floor; the heading
+# exemption is the designed path for title-sized fragments).
+_SPAN_PREFIX = _HEAD + _NAV + "<article><h1>"
+_SPAN_SUFFIX = "</h1></article>" + _FOOTER + "</body></html>"
+
+
+def web_interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved truth corpus with every text span's payload
+    replaced by its HTML-wrapped page — the web-document variant of
+    ``fixtures.interleaved_documents`` (media spans untouched)."""
+    from tesseract_glue_spark.fixtures import interleaved_documents
+
+    wrap = (
+        "transform(spans, s -> named_struct("
+        "'kind', s.kind, "
+        f"'text', CASE WHEN s.kind = 'text' THEN concat('{_SPAN_PREFIX}', s.text, '{_SPAN_SUFFIX}') ELSE s.text END, "
+        "'media_ref', s.media_ref, "
+        "'offset', s.offset))"
+    )
+    docs = interleaved_documents(spark, sf_dir)
+    return docs.select("doc_id", F.expr(wrap).alias("spans"))
+
+
+STRIPPED_SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def strip_text_spans(spans: DataFrame) -> DataFrame:
+    """(doc_id, offset, text=html) → main content per text span."""
+    from tesseract_glue_spark.web.html_main import extract_main
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (doc_id, off, extract_main(html)["main_text"])
+                for doc_id, off, html in zip(pdf["doc_id"], pdf["offset"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in STRIPPED_SPAN_SCHEMA.fields])
+
+    return _fan_out(spans.select("doc_id", "offset", "text")).mapInPandas(
+        run, schema=STRIPPED_SPAN_SCHEMA
+    )
+
+
+def extract_web_flat_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed north_rule flagship: interleaved web documents (text
+    spans = HTML pages, media spans = scanned page images) → per-span
+    main content. Media spans go through the full OCR pipeline
+    (render-backed page store, decode/preprocess/recognize); text spans
+    go through the DOM-heuristic stripper; the output is the flat span
+    relation keyed by (doc_id, offset) — span-sequence equality is the
+    oracle's whole projection.
+
+    Scale shape: the two span kinds take disjoint paths (one filter
+    each off the same exploded frame) and re-unite by UNION — no join
+    against the original order is needed because offset travels with
+    every row."""
+    from tesseract_glue_spark import ExtractionConfig, extract_flat
+    from tesseract_glue_spark.fixtures import pages_for
+
+    docs = web_interleaved_documents(spark, sf_dir)
+    pages = pages_for(docs)
+    flat = extract_flat(docs, pages, ExtractionConfig())
+    text_spans = flat.where(F.col("kind") == "text")
+    other_spans = flat.where((F.col("kind") != "text") | F.col("kind").isNull())
+    stripped = strip_text_spans(text_spans).select(
+        "doc_id",
+        "offset",
+        F.lit("text").alias("kind"),
+        "text",
+        F.lit("").alias("media_ref"),
+    )
+    return other_spans.select("doc_id", "offset", "kind", "text", "media_ref").unionByName(
+        stripped
+    )
+
+
+def extract_web_flat_oracle_sql(table: str = "documents") -> str:
+    """Closed-form oracle: the flat extraction truth with the text-span
+    branch mapped through the wrapper contract — the main content of
+    ``chrome + <h1>chunk</h1> + chrome`` is the whitespace-normalized
+    chunk (single-spaced input ⇒ trim), '' when the chunk is blank."""
+    from tesseract_glue_spark.functions import truth
+
+    j = "(o // 2)"
+    n = truth.media_num_expr(D.DUCKDB)
+    ref = truth.media_ref_expr(D.DUCKDB)
+    ocr = truth.truth_text_expr(n, D.DUCKDB)
+    chunk = f"substr(text, 1 + {j} * {truth.CHUNK}, {truth.CHUNK})"
+    return f"""
+    SELECT doc_id,
+           CAST(o AS BIGINT) AS "offset",
+           CASE WHEN o % 2 = 0 THEN 'text' ELSE 'media' END AS kind,
+           CASE WHEN o % 2 = 0 THEN trim({chunk}) ELSE {ocr} END AS text,
+           CASE WHEN o % 2 = 1 THEN {ref} ELSE '' END AS media_ref
+    FROM {table}, unnest(generate_series(0, 2 * {truth.N_MEDIA})) AS _t(o)
+    """.strip()
 
 
 def pdf_spans_oracle_sql(table: str = "documents") -> str:

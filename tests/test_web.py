@@ -177,6 +177,18 @@ class TestWebSpark:
         exp = self._oracle(pdf_spans_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
 
+    def test_extract_web_flat_matches_oracle(self, spark):
+        """Composed flagship: HTML-wrapped text spans + OCR'd media
+        spans, span-sequence equality against the closed-form oracle."""
+        from tesseract_glue_spark.operators.web import (
+            extract_web_flat_oracle_sql,
+            extract_web_flat_spark,
+        )
+
+        got = extract_web_flat_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(extract_web_flat_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+
     def test_pdf_decode_error_yields_placeholder_row(self, spark):
         from tesseract_glue_spark.operators.web import pdf_extract_text
 
