@@ -149,11 +149,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tesseract_glue_spark.operators.web import (
         extract_web_flat_spark,
         html_main_content_spark,
+        html_outlinks_spark,
         pdf_spans_spark,
         pdf_text_extract_spark,
+        web_link_graph_spark,
     )
 
     q["html_main_content"] = html_main_content_spark
+    q["html_outlinks"] = html_outlinks_spark
+    q["web_link_graph"] = web_link_graph_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
     q["pdf_spans"] = pdf_spans_spark
     # composed flagship variant: interleaved web docs — text spans are
@@ -215,11 +219,15 @@ def oracle_sql() -> dict[str, str]:
     from tesseract_glue_spark.operators.web import (
         extract_web_flat_oracle_sql,
         html_main_content_oracle_sql,
+        html_outlinks_oracle_sql,
         pdf_spans_oracle_sql,
         pdf_text_extract_oracle_sql,
+        web_link_graph_oracle_sql,
     )
 
     o["html_main_content"] = html_main_content_oracle_sql()
+    o["html_outlinks"] = html_outlinks_oracle_sql()
+    o["web_link_graph"] = web_link_graph_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
     o["pdf_spans"] = pdf_spans_oracle_sql()
     o["extract_web_flat"] = extract_web_flat_oracle_sql()

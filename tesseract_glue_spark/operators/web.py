@@ -43,7 +43,11 @@ _HEAD = (
     "<html><head><title>synthetic</title><style>body{margin:0}</style>"
     "<script>var x = 1;</script></head><body>"
 )
-_INLINE_LINK = ' see also <a href="/ref">reference docs</a>'
+# inline link href is doc-dependent (doc_id % 50) so the link-graph
+# operators aggregate a real key distribution, not one constant
+_REF_HREF = "'/ref/' || CAST(doc_id % 50 AS STRING)"
+_INLINE_LINK_PRE = ' see also <a href="'
+_INLINE_LINK_POST = '">reference docs</a>'
 _INLINE_LINK_TEXT = " see also reference docs"
 
 # doc-derived pieces (same SQL text in both dialects)
@@ -62,7 +66,7 @@ def html_corpus_expr() -> str:
         f"'{_HEAD}{_NAV}'"
         f" || CASE WHEN doc_id % 3 = 0 THEN '{_ASIDE}' ELSE '' END"
         f" || '<article><h1>' || {_H1} || '</h1>'"
-        f" || '<p>' || text || '{_INLINE_LINK}</p>'"
+        f" || '<p>' || text || '{_INLINE_LINK_PRE}' || {_REF_HREF} || '{_INLINE_LINK_POST}</p>'"
         f" || CASE WHEN doc_id % 2 = 0 THEN '<p>' || {_P2} || '</p>' ELSE '' END"
         f" || CASE WHEN doc_id % 3 = 1 THEN '{_SHARE}' ELSE '' END"
         f" || '</article>{_FOOTER}</body></html>'"
@@ -152,6 +156,93 @@ def html_main_content_oracle_sql(table: str = "documents") -> str:
            CAST({n_blocks} AS BIGINT) AS n_blocks,
            CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_content_blocks
     FROM {table}
+    """.strip()
+
+
+OUTLINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+        T.StructField("is_chrome", T.LongType()),
+    ]
+)
+
+
+def html_outlinks(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) → one row per outlink (href, anchor text, chrome
+    flag) via the same DOM pass as the block segmenter. The chrome flag
+    lets the link-graph builder drop site-furniture links (nav/footer)
+    that are structure, not endorsement."""
+    from tesseract_glue_spark.web.html_main import extract_links
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for link in extract_links(html):
+                    rows.append((doc_id, link.href, link.anchor, int(link.chrome)))
+            yield pd.DataFrame(rows, columns=[f.name for f in OUTLINKS_SCHEMA.fields])
+
+    return _fan_out(pages.select("doc_id", "html")).mapInPandas(
+        run, schema=OUTLINKS_SCHEMA
+    )
+
+
+def html_outlinks_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return html_outlinks(spark.sql(html_corpus_sql(D.SPARK)))
+
+
+def html_outlinks_oracle_sql(table: str = "documents") -> str:
+    """One UNION branch per link of the corpus-construction contract
+    (nav 3, inline 1 with doc-dependent href, share 3 when doc_id%3=1,
+    footer 2; the aside has no links)."""
+    branches = [
+        ("'/'", "'home'", 1, None),
+        ("'/about'", "'about'", 1, None),
+        ("'/contact'", "'contact'", 1, None),
+        (_REF_HREF, "'reference docs'", 0, None),
+        ("'#'", "'tw'", 0, "doc_id % 3 = 1"),
+        ("'#'", "'fb'", 0, "doc_id % 3 = 1"),
+        ("'#'", "'rss'", 0, "doc_id % 3 = 1"),
+        ("'/terms'", "'terms'", 1, None),
+        ("'/privacy'", "'privacy'", 1, None),
+    ]
+    parts = []
+    for href, anchor, chrome, cond in branches:
+        where = f" WHERE {cond}" if cond else ""
+        parts.append(
+            f"SELECT doc_id, {href} AS href, {anchor} AS anchor, "
+            f"CAST({chrome} AS BIGINT) AS is_chrome FROM {table}{where}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def web_link_graph_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-processing shape: DOM link extraction → content
+    link graph (chrome links dropped) → per-target in-degree. One
+    shuffle, keyed on href — the scale path for outlink aggregation
+    over a crawl (PageRank-style edge building starts exactly here)."""
+    links = html_outlinks_spark(spark, sf_dir)
+    return (
+        links.where(F.col("is_chrome") == 0)
+        .groupBy("href")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def web_link_graph_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT {_REF_HREF} AS href, CAST(COUNT(*) AS BIGINT) AS n_refs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM {table} GROUP BY 1
+    UNION ALL
+    SELECT '#' AS href, CAST(3 * COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM {table} WHERE doc_id % 3 = 1
     """.strip()
 
 

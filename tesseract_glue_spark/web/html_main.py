@@ -60,6 +60,13 @@ LABEL_SHORT = "short"
 
 
 @dataclass
+class Link:
+    href: str
+    anchor: str      # whitespace-collapsed anchor text
+    chrome: bool     # opened inside nav/header/footer/aside
+
+
+@dataclass
 class Block:
     text: str          # whitespace-collapsed visible text
     raw_chars: int     # pre-collapse char count (density denominator)
@@ -81,6 +88,7 @@ class _BlockParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
+        self.links: list[Link] = []
         self._parts: list[str] = []
         self._raw = 0
         self._link = 0
@@ -88,6 +96,8 @@ class _BlockParser(HTMLParser):
         self._chrome = 0
         self._a = 0
         self._tag = "body"
+        self._a_href = ""
+        self._a_parts: list[str] = []
 
     def _flush(self) -> None:
         text = " ".join("".join(self._parts).split())
@@ -113,6 +123,9 @@ class _BlockParser(HTMLParser):
             self._flush()
             self._tag = tag
         elif tag == "a":
+            if self._a == 0:  # nested <a> is invalid HTML: outer wins
+                self._a_href = next((v or "" for k, v in attrs if k == "href"), "")
+                self._a_parts = []
             self._a += 1
         elif tag == "br":
             self._parts.append(" ")
@@ -134,6 +147,15 @@ class _BlockParser(HTMLParser):
             self._tag = "div"  # heading identity does not outlive its close tag
         elif tag == "a":
             self._a = max(0, self._a - 1)
+            if self._a == 0 and not self._skip:
+                self.links.append(
+                    Link(
+                        href=self._a_href,
+                        anchor=" ".join("".join(self._a_parts).split()),
+                        chrome=self._chrome > 0,
+                    )
+                )
+                self._a_href, self._a_parts = "", []
 
     def handle_data(self, data: str) -> None:
         if self._skip or not data:
@@ -142,15 +164,29 @@ class _BlockParser(HTMLParser):
         self._raw += len(data)
         if self._a:
             self._link += len(data)
+            self._a_parts.append(data)
 
 
-def segment_blocks(html: str) -> list[Block]:
-    """Parse HTML into classified text blocks (document order)."""
+def _parse(html: str) -> _BlockParser:
     p = _BlockParser()
     p.feed(html or "")
     p.close()
     p._flush()
-    blocks = p.blocks
+    return p
+
+
+def extract_links(html: str) -> list[Link]:
+    """All outlinks in document order: (href, anchor text, chrome flag).
+    Links inside invisible subtrees (script/style/head) are skipped;
+    chrome means the link opened inside nav/header/footer/aside — the
+    link-graph builder downstream filters on it (boilerplate links are
+    site furniture, not endorsements)."""
+    return _parse(html).links
+
+
+def segment_blocks(html: str) -> list[Block]:
+    """Parse HTML into classified text blocks (document order)."""
+    blocks = _parse(html).blocks
     for b in blocks:
         if b.chrome:
             b.label = LABEL_CHROME

@@ -77,6 +77,30 @@ class TestHtmlBlocks:
         assert extract_main("")["n_blocks"] == 0
         assert extract_main(None)["main_text"] == ""
 
+    def test_extract_links_order_chrome_and_invisible(self):
+        from tesseract_glue_spark.web.html_main import extract_links
+
+        html = (
+            '<nav><a href="/">home</a></nav>'
+            '<p><a href="/ref/7">reference &amp; docs</a></p>'
+            '<script>document.write(\'<a href="/x">no</a>\');</script>'
+            '<footer><a href="/t">terms</a></footer>'
+        )
+        links = extract_links(html)
+        assert [(l.href, l.anchor, l.chrome) for l in links] == [
+            ("/", "home", True),
+            ("/ref/7", "reference & docs", False),
+            ("/t", "terms", True),
+        ]
+
+    def test_extract_links_nested_and_hrefless(self):
+        from tesseract_glue_spark.web.html_main import extract_links
+
+        links = extract_links('<p><a href="/o">out <a>inner</a> er</a></p><p><a name="x">anch</a></p>')
+        # nested <a> is invalid HTML: the outer link wins and absorbs the
+        # inner text; an href-less anchor still records with href=''
+        assert [(l.href, l.anchor) for l in links] == [("/o", "out inner er"), ("", "anch")]
+
     def test_link_density_x10k_exact(self):
         # raw chars: 'abcde'(link,5) + ' tail'(5) => 10 raw, 5 link
         html = '<p><a href="/">abcde</a> tail</p>'
@@ -175,6 +199,21 @@ class TestWebSpark:
 
         got = pdf_spans_spark(spark, SF_DIR).toPandas()
         exp = self._oracle(pdf_spans_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_html_outlinks_and_link_graph_match_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            html_outlinks_oracle_sql,
+            html_outlinks_spark,
+            web_link_graph_oracle_sql,
+            web_link_graph_spark,
+        )
+
+        got = html_outlinks_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(html_outlinks_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+        got = web_link_graph_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(web_link_graph_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
 
     def test_extract_web_flat_matches_oracle(self, spark):
