@@ -153,11 +153,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pdf_spans_spark,
         pdf_text_extract_spark,
         web_link_graph_spark,
+        web_pagerank_spark,
     )
 
     q["html_main_content"] = html_main_content_spark
     q["html_outlinks"] = html_outlinks_spark
     q["web_link_graph"] = web_link_graph_spark
+    q["web_pagerank"] = web_pagerank_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
     q["pdf_spans"] = pdf_spans_spark
     # composed flagship variant: interleaved web docs — text spans are
@@ -223,11 +225,13 @@ def oracle_sql() -> dict[str, str]:
         pdf_spans_oracle_sql,
         pdf_text_extract_oracle_sql,
         web_link_graph_oracle_sql,
+        web_pagerank_oracle_sql,
     )
 
     o["html_main_content"] = html_main_content_oracle_sql()
     o["html_outlinks"] = html_outlinks_oracle_sql()
     o["web_link_graph"] = web_link_graph_oracle_sql()
+    o["web_pagerank"] = web_pagerank_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
     o["pdf_spans"] = pdf_spans_oracle_sql()
     o["extract_web_flat"] = extract_web_flat_oracle_sql()

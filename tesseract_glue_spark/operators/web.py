@@ -46,6 +46,16 @@ _HEAD = (
 # inline link href is doc-dependent (doc_id % 50) so the link-graph
 # operators aggregate a real key distribution, not one constant
 _REF_HREF = "'/ref/' || CAST(doc_id % 50 AS STRING)"
+# pager widget: two doc→doc links per page (the web_pagerank edge
+# source). Targets are contract arithmetic over a fixed 1000-slot id
+# space — at small SF some targets are dangling (no such doc), which the
+# edge builder drops by joining against the vertex set, exactly like a
+# crawl frontier joining against fetched pages.
+_DOC_SPACE = 1000
+_PREV_DST = f"(doc_id * 7 + 13) % {_DOC_SPACE}"
+_NEXT_DST = f"(doc_id * 3 + 41) % {_DOC_SPACE}"
+_PREV_HREF = f"'/doc/' || CAST({_PREV_DST} AS STRING)"
+_NEXT_HREF = f"'/doc/' || CAST({_NEXT_DST} AS STRING)"
 _INLINE_LINK_PRE = ' see also <a href="'
 _INLINE_LINK_POST = '">reference docs</a>'
 _INLINE_LINK_TEXT = " see also reference docs"
@@ -69,6 +79,7 @@ def html_corpus_expr() -> str:
         f" || '<p>' || text || '{_INLINE_LINK_PRE}' || {_REF_HREF} || '{_INLINE_LINK_POST}</p>'"
         f" || CASE WHEN doc_id % 2 = 0 THEN '<p>' || {_P2} || '</p>' ELSE '' END"
         f" || CASE WHEN doc_id % 3 = 1 THEN '{_SHARE}' ELSE '' END"
+        f" || '<div><a href=\"' || {_PREV_HREF} || '\">prev</a> <a href=\"' || {_NEXT_HREF} || '\">next</a></div>'"
         f" || '</article>{_FOOTER}</body></html>'"
     )
 
@@ -145,8 +156,8 @@ def html_main_content_oracle_sql(table: str = "documents") -> str:
         f"{_H1} || chr(10) || text || '{_INLINE_LINK_TEXT}'"
         f" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || {_P2} ELSE '' END"
     )
-    n_blocks = (
-        "4 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"
+    n_blocks = (  # nav + h1 + p1 + pager + footer = 5 unconditional
+        "5 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"
         " + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"
         " + CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END"
     )
@@ -206,6 +217,8 @@ def html_outlinks_oracle_sql(table: str = "documents") -> str:
         ("'#'", "'tw'", 0, "doc_id % 3 = 1"),
         ("'#'", "'fb'", 0, "doc_id % 3 = 1"),
         ("'#'", "'rss'", 0, "doc_id % 3 = 1"),
+        (_PREV_HREF, "'prev'", 0, None),
+        (_NEXT_HREF, "'next'", 0, None),
         ("'/terms'", "'terms'", 1, None),
         ("'/privacy'", "'privacy'", 1, None),
     ]
@@ -236,14 +249,129 @@ def web_link_graph_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def web_link_graph_oracle_sql(table: str = "documents") -> str:
+    """Group over the union of all non-chrome links — prev/next targets
+    of different docs can collide on one '/doc/k' href, so aggregation
+    must run over the combined edge list, not per link kind."""
     return f"""
-    SELECT {_REF_HREF} AS href, CAST(COUNT(*) AS BIGINT) AS n_refs,
+    WITH links AS MATERIALIZED (
+        SELECT doc_id, {_REF_HREF} AS href FROM {table}
+        UNION ALL SELECT doc_id, {_PREV_HREF} FROM {table}
+        UNION ALL SELECT doc_id, {_NEXT_HREF} FROM {table}
+        UNION ALL SELECT doc_id, '#' FROM {table} WHERE doc_id % 3 = 1
+        UNION ALL SELECT doc_id, '#' FROM {table} WHERE doc_id % 3 = 1
+        UNION ALL SELECT doc_id, '#' FROM {table} WHERE doc_id % 3 = 1
+    )
+    SELECT href, CAST(COUNT(*) AS BIGINT) AS n_refs,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-    FROM {table} GROUP BY 1
-    UNION ALL
-    SELECT '#' AS href, CAST(3 * COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
-    FROM {table} WHERE doc_id % 3 = 1
+    FROM links GROUP BY href
     """.strip()
+
+
+# -------------------------------------------------------------- PageRank
+
+PR_SCALE = 1_000_000  # ranks as x1m BIGINTs: integer math hashes exactly
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_BASE = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+PR_ROUNDS = 3
+
+
+def _pr_round_sql(d: str, verts: str, edges: str, ranks: str) -> str:
+    """One damped rank-propagation round (dual-dialect):
+    r'(v) = BASE + 0.85 * Σ_{(u,v)∈E} r(u) div outdeg(u), all in scaled
+    BIGINT arithmetic (div floors identically in both engines). Docs
+    with no surviving out-edges leak mass — the standard simplification;
+    ranks remain a deterministic centrality score."""
+    contrib = D.int_div(d, "r.rank", "e.outdeg")
+    damped = D.int_div(d, f"({PR_DAMP_NUM} * COALESCE(agg.s, 0))", str(PR_DAMP_DEN))
+    return f"""
+    SELECT t.v AS v, CAST({PR_BASE} + {damped} AS BIGINT) AS rank
+    FROM {verts} t LEFT JOIN (
+        SELECT e.dst AS v, CAST(SUM({contrib}) AS BIGINT) AS s
+        FROM {edges} e JOIN {ranks} r ON r.v = e.src
+        GROUP BY e.dst
+    ) agg ON agg.v = t.v
+    """.strip()
+
+
+def web_pagerank_spark(
+    spark: SparkSession, sf_dir: str, rounds: int = PR_ROUNDS
+) -> DataFrame:
+    """PageRank-lite over the REAL parsed link graph: DOM link
+    extraction → '/doc/N' pager edges → join against the vertex set
+    (dangling targets drop out, like a crawl frontier joined against
+    fetched pages) → ``rounds`` damped propagation rounds executed
+    stepwise with per-round localCheckpoint (flat plans, same pattern as
+    the connected-components fixpoint). The oracle unrolls the same
+    round template over contract-derived edges, so the parser-built
+    graph is value-checked end to end."""
+    from uuid import uuid4
+
+    verts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("v"))
+    )
+    links = html_outlinks_spark(spark, sf_dir)
+    raw_edges = links.where(F.col("href").startswith("/doc/")).select(
+        F.col("doc_id").alias("src"),
+        F.expr("CAST(substr(href, 6) AS BIGINT)").alias("dst"),
+    )
+    edges = raw_edges.join(verts.select(F.col("v").alias("dst")), "dst", "inner")
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = edges.join(deg, "src")
+
+    tag = uuid4().hex[:12]
+    vv, ev, rv = f"pr_verts_{tag}", f"pr_edges_{tag}", f"pr_ranks_{tag}"
+    verts = verts.localCheckpoint(eager=True)
+    verts.createOrReplaceTempView(vv)
+    edges.localCheckpoint(eager=True).createOrReplaceTempView(ev)
+    ranks = verts.select("v", F.lit(PR_SCALE).cast("long").alias("rank")).localCheckpoint(
+        eager=True
+    )
+    ranks.createOrReplaceTempView(rv)
+    try:
+        for _ in range(rounds):
+            ranks = spark.sql(_pr_round_sql(D.SPARK, vv, ev, rv)).localCheckpoint(
+                eager=True
+            )
+            ranks.createOrReplaceTempView(rv)
+        return ranks.select(F.col("v").alias("doc_id"), F.col("rank").alias("rank_x1m"))
+    finally:
+        spark.catalog.dropTempView(vv)
+        spark.catalog.dropTempView(ev)
+        spark.catalog.dropTempView(rv)
+
+
+def web_pagerank_oracle_sql(table: str = "documents", rounds: int = PR_ROUNDS) -> str:
+    """The same rounds unrolled into ONE DuckDB statement over edges
+    derived from the pager contract (every CTE MATERIALIZED — same
+    exponential-inlining hazard as the components oracle)."""
+    d = D.DUCKDB
+    parts = [
+        f"verts AS MATERIALIZED (SELECT doc_id AS v FROM {table})",
+        (
+            "cand AS MATERIALIZED ("
+            f"SELECT doc_id AS src, {_PREV_DST} AS dst FROM {table} "
+            f"UNION ALL SELECT doc_id, {_NEXT_DST} FROM {table})"
+        ),
+        (
+            "e0 AS MATERIALIZED (SELECT src, dst FROM cand "
+            "WHERE dst IN (SELECT v FROM verts))"
+        ),
+        (
+            "edges AS MATERIALIZED (SELECT e0.src, e0.dst, d.outdeg FROM e0 JOIN "
+            "(SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY src) d ON d.src = e0.src)"
+        ),
+        f"r0 AS MATERIALIZED (SELECT v, CAST({PR_SCALE} AS BIGINT) AS rank FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"r{t} AS MATERIALIZED ({_pr_round_sql(d, 'verts', 'edges', f'r{t - 1}')})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT v AS doc_id, rank AS rank_x1m FROM r{rounds}"
+    )
 
 
 # ------------------------------------------------------------------- PDF

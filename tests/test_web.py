@@ -216,6 +216,44 @@ class TestWebSpark:
         exp = self._oracle(web_link_graph_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
 
+    def test_web_pagerank_matches_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            web_pagerank_oracle_sql,
+            web_pagerank_spark,
+        )
+
+        got = web_pagerank_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(web_pagerank_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+        # the parsed graph must be non-trivial: propagation moved mass
+        assert got["rank_x1m"].nunique() > 1
+
+    def test_pr_round_semantics_tiny_graph(self):
+        """One damped round on a hand-computed 3-node graph: 1→2, 1→3,
+        2→3 (outdeg 2,1). r0=SCALE each. r1(1)=BASE; r1(2)=BASE+
+        .85*(S div 2); r1(3)=BASE+.85*((S div 2)+S)."""
+        from tesseract_glue_spark.functions import dialect as D
+        from tesseract_glue_spark.operators.web import PR_BASE, PR_SCALE, _pr_round_sql
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE verts AS SELECT * FROM (VALUES (1),(2),(3)) t(v)")
+        con.execute(
+            "CREATE TABLE edges AS SELECT * FROM (VALUES "
+            "(1,2,2),(1,3,2),(2,3,1)) t(src,dst,outdeg)"
+        )
+        con.execute(
+            f"CREATE TABLE r0 AS SELECT v, CAST({PR_SCALE} AS BIGINT) AS rank FROM verts"
+        )
+        got = dict(
+            con.execute(_pr_round_sql(D.DUCKDB, "verts", "edges", "r0")).fetchall()
+        )
+        half = PR_SCALE // 2
+        assert got == {
+            1: PR_BASE,
+            2: PR_BASE + (85 * half) // 100,
+            3: PR_BASE + (85 * (half + PR_SCALE)) // 100,
+        }
+
     def test_extract_web_flat_matches_oracle(self, spark):
         """Composed flagship: HTML-wrapped text spans + OCR'd media
         spans, span-sequence equality against the closed-form oracle."""
