@@ -421,10 +421,14 @@ PDF_SPANS_SCHEMA = T.StructType(
 )
 
 
-def pdf_extract_text(docs: DataFrame) -> DataFrame:
+def pdf_extract_text(docs: DataFrame, fan_out: bool = True) -> DataFrame:
     """(doc_id, pdf: binary) → per-page reading-order text. Undecodable
     PDFs yield a placeholder row (status='decode_error'), never a silent
-    drop — same corruption-screen policy as the image path."""
+    drop — same corruption-screen policy as the image path.
+
+    ``fan_out=False`` when the input is already explicitly partitioned
+    (e.g. straight out of another mapInPandas stage): the parse then
+    pipelines into the producer's stage with no blob shuffle between."""
     from tesseract_glue_spark.web.pdf import PdfDecodeError, extract_pdf_spans, reading_order_text
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -440,10 +444,13 @@ def pdf_extract_text(docs: DataFrame) -> DataFrame:
                     rows.append((doc_id, page_no, page_text, "ok"))
             yield pd.DataFrame(rows, columns=[f.name for f in PDF_TEXT_SCHEMA.fields])
 
-    return _fan_out(docs.select("doc_id", "pdf")).mapInPandas(run, schema=PDF_TEXT_SCHEMA)
+    src = docs.select("doc_id", "pdf")
+    if fan_out:
+        src = _fan_out(src)
+    return src.mapInPandas(run, schema=PDF_TEXT_SCHEMA)
 
 
-def pdf_spans(docs: DataFrame) -> DataFrame:
+def pdf_spans(docs: DataFrame, fan_out: bool = True) -> DataFrame:
     """(doc_id, pdf: binary) → raw positioned spans (pre-layout),
     x/y floored to ints for exact cross-engine hashing."""
     from tesseract_glue_spark.web.pdf import PdfDecodeError, extract_pdf_spans
@@ -460,7 +467,10 @@ def pdf_spans(docs: DataFrame) -> DataFrame:
                     rows.append((doc_id, page_no, int(x), int(y), txt))
             yield pd.DataFrame(rows, columns=[f.name for f in PDF_SPANS_SCHEMA.fields])
 
-    return _fan_out(docs.select("doc_id", "pdf")).mapInPandas(run, schema=PDF_SPANS_SCHEMA)
+    src = docs.select("doc_id", "pdf")
+    if fan_out:
+        src = _fan_out(src)
+    return src.mapInPandas(run, schema=PDF_SPANS_SCHEMA)
 
 
 def _synthetic_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,7 +494,9 @@ def _synthetic_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pdf_text_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pdf_extract_text(_synthetic_pdf_corpus(spark, sf_dir)).select(
+    # corpus synthesis already fanned out: parse pipelines into the same
+    # stage (one blob shuffle total, plan-asserted in tests/test_plans)
+    return pdf_extract_text(_synthetic_pdf_corpus(spark, sf_dir), fan_out=False).select(
         "doc_id", "page_no", "page_text"
     )
 
@@ -514,7 +526,7 @@ def pdf_text_extract_oracle_sql(table: str = "documents") -> str:
 
 
 def pdf_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pdf_spans(_synthetic_pdf_corpus(spark, sf_dir))
+    return pdf_spans(_synthetic_pdf_corpus(spark, sf_dir), fan_out=False)
 
 
 # ------------------------------------------- composed web-doc extraction

@@ -182,3 +182,35 @@ class TestRelationalPlanShape:
             spark, SF_DIR
         )
         assert C.has_broadcast_join(C.plan_text(df))
+
+
+class TestWebPlanShape:
+    def test_pdf_pipeline_single_blob_shuffle(self, spark):
+        """generate→parse must pipeline in ONE stage: exactly one
+        round-robin fan-out, no second exchange moving the PDF blobs."""
+        from tesseract_glue_spark.operators.web import pdf_text_extract_spark
+
+        plan = C.plan_text(pdf_text_extract_spark(spark, SF_DIR), mode="simple")
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("MapInPandas") == 2, plan
+
+    def test_html_strip_scan_prunes_and_fans_out(self, spark):
+        """The HTML corpus scan reads only (doc_id, text); the stripper
+        sits behind an explicit round-robin fan-out that must survive
+        Catalyst (same trap as the OCR stage)."""
+        from tesseract_glue_spark.operators.web import html_main_content_spark
+
+        df = html_main_content_spark(spark, SF_DIR)
+        plan = C.plan_text(df)
+        assert C.columns_pruned(plan, "documents", {"doc_id", "text"}), plan
+        assert "RoundRobinPartitioning" in C.plan_text(df, mode="simple")
+
+    def test_link_graph_partial_aggregates(self, spark):
+        """Distinct-count over href runs the two-phase partial shape
+        (per-(href,doc) partial below the exchange), never a global
+        single-partition aggregation."""
+        from tesseract_glue_spark.operators.web import web_link_graph_spark
+
+        plan = C.plan_text(web_link_graph_spark(spark, SF_DIR), mode="simple")
+        assert plan.count("HashAggregate") >= 3, plan
+        assert "SinglePartition" not in plan, plan
