@@ -162,6 +162,60 @@ class TestPdfCodec:
         assert spans == [(1, 72.0, 700.0, evil)]
 
 
+class TestWarcCodec:
+    def _recs(self):
+        from tesseract_glue_spark.web.warc import encode_http_response
+
+        return [
+            ("warcinfo", "", {}, b"software: test"),
+            ("request", "https://x.org/1", {}, b"GET /1 HTTP/1.1\r\n\r\n"),
+            (
+                "response",
+                "https://x.org/1",
+                {},
+                encode_http_response(200, "OK", "text/html", b"<p>hello</p>"),
+            ),
+            (
+                "response",
+                "https://x.org/2",
+                {},
+                encode_http_response(404, "Not Found", "text/plain", b"nope"),
+            ),
+        ]
+
+    def test_roundtrip_plain_and_gzip_members(self):
+        from tesseract_glue_spark.web.warc import encode_warc, warc_responses
+
+        for compress in (False, True):
+            got = warc_responses(encode_warc(self._recs(), compress=compress))
+            assert [(r["url"], r["http_status"], r["body"]) for r in got] == [
+                ("https://x.org/1", 200, b"<p>hello</p>"),
+                ("https://x.org/2", 404, b"nope"),
+            ]
+
+    def test_handwritten_record_case_insensitive_headers(self):
+        from tesseract_glue_spark.web.warc import warc_responses
+
+        block = b"HTTP/1.1 200 OK\r\ncontent-TYPE: text/html\r\nCONTENT-length: 4\r\n\r\nbodyEXTRA"
+        raw = (
+            b"WARC/1.0\r\nwarc-type: response\r\nWarc-Target-Uri: https://y.org\r\n"
+            b"content-length: %d\r\n\r\n%s\r\n\r\n" % (len(block), block)
+        )
+        (r,) = warc_responses(raw)
+        # HTTP Content-Length slices the body even when bytes trail it
+        assert (r["url"], r["content_type"], r["body"]) == ("https://y.org", "text/html", b"body")
+
+    def test_typed_errors(self):
+        from tesseract_glue_spark.web.warc import WarcDecodeError, encode_warc, warc_responses
+
+        with pytest.raises(WarcDecodeError):
+            warc_responses(b"not a warc")
+        with pytest.raises(WarcDecodeError):
+            warc_responses(encode_warc(self._recs(), compress=True)[:-8])  # truncated member
+        with pytest.raises(WarcDecodeError):
+            warc_responses(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nx")  # no Content-Length
+
+
 @pytest.mark.usefixtures("spark")
 class TestWebSpark:
     def _oracle(self, sql: str):
@@ -214,6 +268,21 @@ class TestWebSpark:
         assert canonical_csv(got) == canonical_csv(exp)
         got = web_link_graph_spark(spark, SF_DIR).toPandas()
         exp = self._oracle(web_link_graph_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_warc_queries_match_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            warc_ingest_oracle_sql,
+            warc_ingest_spark,
+            warc_main_content_oracle_sql,
+            warc_main_content_spark,
+        )
+
+        got = warc_ingest_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(warc_ingest_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+        got = warc_main_content_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(warc_main_content_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
 
     def test_web_pagerank_matches_oracle(self, spark):
