@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         html_outlinks_spark,
         pdf_spans_spark,
         pdf_text_extract_spark,
+        warc_ingest_spark,
+        warc_main_content_spark,
         web_link_graph_spark,
         web_pagerank_spark,
     )
@@ -160,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["html_outlinks"] = html_outlinks_spark
     q["web_link_graph"] = web_link_graph_spark
     q["web_pagerank"] = web_pagerank_spark
+    q["warc_ingest"] = warc_ingest_spark
+    q["warc_main_content"] = warc_main_content_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
     q["pdf_spans"] = pdf_spans_spark
     # composed flagship variant: interleaved web docs — text spans are
@@ -224,6 +228,8 @@ def oracle_sql() -> dict[str, str]:
         html_outlinks_oracle_sql,
         pdf_spans_oracle_sql,
         pdf_text_extract_oracle_sql,
+        warc_ingest_oracle_sql,
+        warc_main_content_oracle_sql,
         web_link_graph_oracle_sql,
         web_pagerank_oracle_sql,
     )
@@ -232,6 +238,8 @@ def oracle_sql() -> dict[str, str]:
     o["html_outlinks"] = html_outlinks_oracle_sql()
     o["web_link_graph"] = web_link_graph_oracle_sql()
     o["web_pagerank"] = web_pagerank_oracle_sql()
+    o["warc_ingest"] = warc_ingest_oracle_sql()
+    o["warc_main_content"] = warc_main_content_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
     o["pdf_spans"] = pdf_spans_oracle_sql()
     o["extract_web_flat"] = extract_web_flat_oracle_sql()

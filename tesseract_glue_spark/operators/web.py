@@ -145,17 +145,24 @@ def html_main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def expected_main_text_expr() -> str:
+    """The corpus contract's expected main content (both dialects):
+    h1 + main paragraph (text + inline link text) + optional second
+    paragraph, newline-joined."""
+    return (
+        f"{_H1} || chr(10) || text || '{_INLINE_LINK_TEXT}'"
+        f" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || {_P2} ELSE '' END"
+    )
+
+
 def html_main_content_oracle_sql(table: str = "documents") -> str:
     """Expected output in closed form from the corpus-construction
     contract: content = h1 (heading exemption) + main paragraph (text +
     inline link text, density ~0.16 < 1/3) + optional second paragraph;
     everything else is chrome (nav/aside/footer) or link-density
-    boilerplate (share bar). Block count = nav + optional aside + h1 +
-    p1 + optional p2 + optional share + footer."""
-    exp_main = (
-        f"{_H1} || chr(10) || text || '{_INLINE_LINK_TEXT}'"
-        f" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || {_P2} ELSE '' END"
-    )
+    boilerplate (share bar, pager). Block count = nav + optional aside +
+    h1 + p1 + optional p2 + optional share + pager + footer."""
+    exp_main = expected_main_text_expr()
     n_blocks = (  # nav + h1 + p1 + pager + footer = 5 unconditional
         "5 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"
         " + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"
@@ -264,6 +271,139 @@ def web_link_graph_oracle_sql(table: str = "documents") -> str:
     SELECT href, CAST(COUNT(*) AS BIGINT) AS n_refs,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
     FROM links GROUP BY href
+    """.strip()
+
+
+# ------------------------------------------------------------------ WARC
+
+# Crawl-synthesis contract: one .warc.gz archive per doc — warcinfo +
+# request + response records; response is the doc's HTML page with HTTP
+# 200, except every 13th doc is a 404 with a 'not found' text body (the
+# ingest filter must route on status, not assume success).
+_WARC_URL = "'https://example.org/doc/' || CAST(doc_id AS STRING)"
+_WARC_404 = "doc_id % 13 = 0"
+_CT_HTML = "text/html; charset=utf-8"
+_CT_PLAIN = "text/plain"
+
+WARC_INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("http_status", T.LongType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+WARC_MAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("main_text", T.StringType()),
+    ]
+)
+
+
+def _synthesize_warc(doc_id: int, html: str) -> bytes:
+    from tesseract_glue_spark.web.warc import encode_http_response, encode_warc
+
+    url = f"https://example.org/doc/{doc_id}"
+    if doc_id % 13 == 0:
+        resp = encode_http_response(404, "Not Found", _CT_PLAIN, b"not found")
+    else:
+        resp = encode_http_response(200, "OK", _CT_HTML, html.encode("utf-8"))
+    return encode_warc(
+        [
+            ("warcinfo", "", {"WARC-Filename": f"doc-{doc_id}.warc.gz"}, b"software: synthetic"),
+            ("request", url, {}, b"GET / HTTP/1.1\r\nHost: example.org\r\n\r\n"),
+            ("response", url, {}, resp),
+        ],
+        compress=True,
+    )
+
+
+def _synthetic_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, warc) archives built worker-side around the SQL-derived
+    HTML corpus — same pattern as the PDF corpus: the binary never
+    exists in SQL but every byte derives from (doc_id, text)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    corpus = spark.sql(html_corpus_sql(D.SPARK))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (doc_id, _synthesize_warc(int(doc_id), html))
+                for doc_id, html in zip(pdf["doc_id"], pdf["html"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "warc"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("warc", T.BinaryType())]
+    )
+    return _fan_out(corpus).mapInPandas(gen, schema=schema)
+
+
+def warc_ingest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-archive ingestion: gzip-member WARC parse → one row per
+    response record (url, status, content type, payload size). The
+    byte counts value-check the whole framing roundtrip (HTTP
+    Content-Length slicing included)."""
+    from tesseract_glue_spark.web.warc import warc_responses
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["warc"]):
+                for r in warc_responses(bytes(blob)):
+                    rows.append(
+                        (doc_id, r["url"], r["http_status"], r["content_type"], len(r["body"]))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_INGEST_SCHEMA.fields])
+
+    return _synthetic_warc_corpus(spark, sf_dir).mapInPandas(
+        run, schema=WARC_INGEST_SCHEMA
+    )
+
+
+def warc_ingest_oracle_sql(table: str = "documents") -> str:
+    # octet_length(encode(...)): UTF-8 BYTE count — the Spark side
+    # measures len(body bytes), and char count only coincides on ASCII
+    body_len = f"octet_length(encode({html_corpus_expr()}))"
+    return f"""
+    SELECT doc_id,
+           {_WARC_URL} AS url,
+           CAST(CASE WHEN {_WARC_404} THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+           CASE WHEN {_WARC_404} THEN '{_CT_PLAIN}' ELSE '{_CT_HTML}' END AS content_type,
+           CAST(CASE WHEN {_WARC_404} THEN 9 ELSE {body_len} END AS BIGINT) AS n_bytes
+    FROM {table}
+    """.strip()
+
+
+def warc_main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl pipeline: WARC parse → keep HTTP-200 HTML
+    responses → DOM-strip the payload to main content. Parse and strip
+    pipeline in the generator's stage (no blob shuffle)."""
+    from tesseract_glue_spark.web.html_main import extract_main
+    from tesseract_glue_spark.web.warc import warc_responses
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["warc"]):
+                for r in warc_responses(bytes(blob)):
+                    if r["http_status"] != 200 or not r["content_type"].startswith("text/html"):
+                        continue
+                    main = extract_main(r["body"].decode("utf-8"))["main_text"]
+                    rows.append((doc_id, r["url"], main))
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_MAIN_SCHEMA.fields])
+
+    return _synthetic_warc_corpus(spark, sf_dir).mapInPandas(run, schema=WARC_MAIN_SCHEMA)
+
+
+def warc_main_content_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id, {_WARC_URL} AS url, {expected_main_text_expr()} AS main_text
+    FROM {table} WHERE NOT ({_WARC_404})
     """.strip()
 
 
