@@ -86,9 +86,12 @@ def _sql_ops() -> dict[str, tuple]:
     from tesseract_glue_spark.operators.relational import RELATIONAL_OPS
     from tesseract_glue_spark.operators.similarity import SIMILARITY_OPS
     from tesseract_glue_spark.operators.text import TEXT_OPS
+    from tesseract_glue_spark.operators.web import WEB_SQL_OPS
 
     ops: dict[str, tuple] = {}
     for name, b in TEXT_OPS.items():
+        ops[name] = (b, ("documents",))
+    for name, b in WEB_SQL_OPS.items():
         ops[name] = (b, ("documents",))
     for name, b in DEDUP_OPS.items():
         ops[name] = (b, ("documents",))

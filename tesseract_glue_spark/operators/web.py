@@ -274,6 +274,58 @@ def web_link_graph_oracle_sql(table: str = "documents") -> str:
     """.strip()
 
 
+# ------------------------------------------------- URL canonicalization
+
+
+def url_normalize_sql(d: str, table: str = "documents") -> str:
+    """Crawl-frontier URL canonicalization as ONE dual-dialect SQL
+    template (Spark query ≡ DuckDB oracle by construction, like the
+    text operators): lowercase scheme+host, strip a leading ``www.``,
+    strip default ports (:80/:443), drop the fragment, keep path and
+    query case/order untouched (paths are case-sensitive; query
+    reordering changes semantics on real sites). Input URLs are
+    synthesized messy — mixed case, default ports, fragments — from the
+    documents table, one deterministic variant per ``doc_id % 4``.
+
+    Pure codegen'd string/regex expressions, no UDFs, no shuffle: at
+    crawl scale this runs as a map-only stage ahead of the frontier
+    dedup shuffle."""
+    did = "CAST(doc_id AS STRING)"
+    raw = f"""CASE doc_id % 4
+        WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Doc/' || {did} || '?q=1#top'
+        WHEN 1 THEN 'http://example.com:80/doc/' || {did}
+        WHEN 2 THEN 'https://sub.Example.com/doc/' || {did} || '?a=1&b=2'
+        ELSE 'http://Example.org/Doc/' || {did} || '#frag'
+    END"""
+    scheme_pat = D.regex_literal(d, r"^([A-Za-z][A-Za-z0-9+.-]*)://")
+    host_pat = D.regex_literal(d, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)")
+    rest_pat = D.regex_literal(d, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)")
+    port_pat = D.regex_literal(d, r":(80|443)$")
+    www_pat = D.regex_literal(d, r"^www\.")
+    tld_pat = D.regex_literal(d, r"\.([a-z0-9-]+)$")
+    flags = ", 'g'" if d == D.DUCKDB else ""
+    host_raw = f"lower(regexp_extract(url_raw, {host_pat}, 1))"
+    host = (
+        f"regexp_replace(regexp_replace({host_raw}, {port_pat}, ''{flags}), "
+        f"{www_pat}, ''{flags})"
+    )
+    return f"""
+    SELECT doc_id,
+           url_raw,
+           lower(regexp_extract(url_raw, {scheme_pat}, 1)) || '://' || host
+             || regexp_extract(url_raw, {rest_pat}, 1) AS url_norm,
+           host,
+           regexp_extract(host, {tld_pat}, 1) AS tld
+    FROM (SELECT doc_id, url_raw, {host} AS host
+          FROM (SELECT doc_id, {raw} AS url_raw FROM {table}) u) h
+    """.strip()
+
+
+WEB_SQL_OPS = {
+    "web_url_normalize": url_normalize_sql,
+}
+
+
 # ------------------------------------------------------------------ WARC
 
 # Crawl-synthesis contract: one .warc.gz archive per doc — warcinfo +

@@ -270,6 +270,16 @@ class TestWebSpark:
         exp = self._oracle(web_link_graph_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
 
+    def test_web_url_normalize_matches_oracle(self, spark):
+        from tesseract_glue_spark.operators.registry import oracle, spark_runner
+        from tesseract_glue_spark.operators.web import url_normalize_sql
+
+        got = spark_runner(url_normalize_sql)(spark, SF_DIR).toPandas()
+        exp = self._oracle(oracle(url_normalize_sql))
+        assert canonical_csv(got) == canonical_csv(exp)
+        row = got[got.doc_id == 0].iloc[0]
+        assert row.url_norm == "https://example.com/Doc/0?q=1"  # case/port/fragment rules
+
     def test_warc_queries_match_oracle(self, spark):
         from tesseract_glue_spark.operators.web import (
             warc_ingest_oracle_sql,
