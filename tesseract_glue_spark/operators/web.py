@@ -775,36 +775,64 @@ def strip_text_spans(spans: DataFrame) -> DataFrame:
     )
 
 
-def extract_web_flat_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed north_rule flagship: interleaved web documents (text
-    spans = HTML pages, media spans = scanned page images) → per-span
-    main content. Media spans go through the full OCR pipeline
-    (render-backed page store, decode/preprocess/recognize); text spans
-    go through the DOM-heuristic stripper; the output is the flat span
-    relation keyed by (doc_id, offset) — span-sequence equality is the
-    oracle's whole projection.
-
-    Scale shape: the two span kinds take disjoint paths (one filter
-    each off the same exploded frame) and re-unite by UNION — no join
-    against the original order is needed because offset travels with
-    every row."""
-    from tesseract_glue_spark import ExtractionConfig, extract_flat
-    from tesseract_glue_spark.fixtures import pages_for
-
-    docs = web_interleaved_documents(spark, sf_dir)
-    pages = pages_for(docs)
-    flat = extract_flat(docs, pages, ExtractionConfig())
-    text_spans = flat.where(F.col("kind") == "text")
-    other_spans = flat.where((F.col("kind") != "text") | F.col("kind").isNull())
-    stripped = strip_text_spans(text_spans).select(
+def web_strip_exploded(spans: DataFrame) -> DataFrame:
+    """Exploded span frame → same frame with text-span payloads replaced
+    by their DOM-stripped main content. The two span kinds take disjoint
+    paths off one frame and re-unite by UNION (offset travels with every
+    row, so no order join); downstream media-only consumers prune the
+    strip branch entirely — a ``kind = 'media'`` filter pushed through
+    the union constant-folds the stripped child (lit 'text') to empty."""
+    text = spans.where(F.col("kind") == "text")
+    others = spans.where((F.col("kind") != "text") | F.col("kind").isNull())
+    stripped = strip_text_spans(text).select(
         "doc_id",
         "offset",
         F.lit("text").alias("kind"),
         "text",
         F.lit("").alias("media_ref"),
     )
-    return other_spans.select("doc_id", "offset", "kind", "text", "media_ref").unionByName(
+    return others.select("doc_id", "offset", "kind", "text", "media_ref").unionByName(
         stripped
+    )
+
+
+def extract_web_documents(docs: DataFrame, pages: DataFrame, config=None) -> DataFrame:
+    """Nested-form web extraction — the production job surface: same
+    output schema as ``extract_documents`` (doc_id, spans, ocr_pages,
+    ocr_empty_pages, status), so lineage manifests, bucketed writes, and
+    bucket-/doc-granular resume apply unchanged (`run_extract --web`).
+    Text spans are DOM-stripped BEFORE stitch/reassembly; media spans go
+    through the full OCR path."""
+    from tesseract_glue_spark import ExtractionConfig
+    from tesseract_glue_spark.operators.extract import (
+        explode_spans,
+        ocr_media,
+        reassemble,
+        stitch,
+    )
+
+    cfg = (config or ExtractionConfig()).validated()
+    spans = web_strip_exploded(explode_spans(docs))
+    ocr = ocr_media(spans, pages, cfg)
+    return reassemble(stitch(spans, ocr, cfg), cfg)
+
+
+def extract_web_flat_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed north_rule flagship: interleaved web documents (text
+    spans = HTML pages, media spans = scanned page images) → per-span
+    main content, flattened — span-sequence equality is the oracle's
+    whole projection."""
+    from tesseract_glue_spark.fixtures import pages_for
+
+    docs = web_interleaved_documents(spark, sf_dir)
+    pages = pages_for(docs)
+    out = extract_web_documents(docs, pages)
+    return out.select("doc_id", F.posexplode_outer("spans").alias("_p", "s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
     )
 
 

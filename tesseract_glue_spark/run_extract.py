@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tessdata", default=None)
     ap.add_argument("--salt", type=int, default=0, help="salted reassembly factor")
     ap.add_argument("--ocr-partitions", type=int, default=None)
+    ap.add_argument(
+        "--web",
+        action="store_true",
+        help="treat text spans as HTML pages: DOM-strip them to main "
+        "content while media spans go through OCR (north_rule web mode)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -77,7 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     pages = read_pages(spark, args.pages)
 
     t0 = time.perf_counter()
-    out = extract_documents(docs, pages, cfg)
+    if args.web:
+        from tesseract_glue_spark.operators.web import extract_web_documents
+
+        out = extract_web_documents(docs, pages, cfg)
+    else:
+        out = extract_documents(docs, pages, cfg)
     manifests = M.write_extracted(
         out, args.output, n_buckets=args.buckets, mode=write_mode, resume=args.resume
     )

@@ -345,6 +345,42 @@ class TestWebSpark:
         exp = self._oracle(extract_web_flat_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
 
+    def test_run_extract_web_cli_writes_manifests(self, spark, tmp_path):
+        """Production job surface: `run_extract --web` over a
+        materialized web corpus completes, writes bucketed parquet +
+        one valid manifest per bucket, and the written span text is the
+        STRIPPED main content (no markup survives)."""
+        import glob
+        import json
+
+        from tesseract_glue_spark.fixtures import pages_for
+        from tesseract_glue_spark.operators.web import web_interleaved_documents
+        from tesseract_glue_spark.run_extract import main
+
+        docs = web_interleaved_documents(spark, SF_DIR)
+        in_dir, pages_dir, out_dir = (
+            str(tmp_path / "docs"),
+            str(tmp_path / "pages"),
+            str(tmp_path / "out"),
+        )
+        docs.write.parquet(in_dir)
+        pages_for(docs).write.parquet(pages_dir)
+        rc = main(
+            ["--input", in_dir, "--pages", pages_dir, "--output", out_dir, "--buckets", "4"]
+            + ["--web"]
+        )
+        assert rc == 0
+        manifests = sorted(glob.glob(f"{out_dir}/_manifests/*.json"))
+        assert len(manifests) == 4
+        total = sum(json.load(open(m))["n_docs"] for m in manifests)
+        assert total == docs.count()
+        written = spark.read.parquet(f"{out_dir}/data")
+        texts = written.selectExpr(
+            "explode(spans) AS s"
+        ).where("s.kind = 'text'").selectExpr("s.text AS t")
+        assert texts.where("t LIKE '%<%'").count() == 0  # markup stripped
+        assert texts.where("t <> ''").count() > 0
+
     def test_pdf_decode_error_yields_placeholder_row(self, spark):
         from tesseract_glue_spark.operators.web import pdf_extract_text
 
