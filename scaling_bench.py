@@ -28,13 +28,18 @@ from bench import build_spark
 spark = build_spark({cpus})
 spark.sparkContext.setLogLevel("ERROR")
 from tesseract_glue_spark import ExtractionConfig, extract_documents
+if {web}:
+    from tesseract_glue_spark.operators.web import extract_web_documents as extract_documents
 docs = spark.read.parquet({corpus_dir!r} + "/documents_spans")
 pages = spark.read.parquet({corpus_dir!r} + "/pages")
 cfg = ExtractionConfig()
-# warmup on a 10% slice: spins up Python workers, ships the zip, JITs
-# codegen — identical at both parallelism levels so the ratio is fair,
-# and it keeps the low-parallelism run inside the sandbox run budget
-extract_documents(docs.where("doc_id % 10 = 0"), pages, cfg).count()
+# ONE FULL-SIZE untimed warmup — the same protocol as bench.py: first
+# execution is dominated by Janino/JIT compilation and Python-worker
+# spin-up, which long-lived cluster executors pay once per cluster, not
+# per job. (A 10-25% slice under-warmed the web path: its first
+# full-size timed run still carried ~10 s of JIT at local[16],
+# observed as a bimodal 24 s / 40 s wall.)
+extract_documents(docs, pages, cfg).count()
 best = None
 for _ in range(2):
     t0 = time.perf_counter()
@@ -54,7 +59,11 @@ from bench import build_spark
 spark = build_spark(32)
 spark.sparkContext.setLogLevel("ERROR")
 from tesseract_glue_spark.fixtures import scaling_corpus, materialize_corpus
-materialize_corpus(spark, scaling_corpus(spark, {n_docs}, {pages_per_doc}), {corpus_dir!r}, partitions=32)
+docs = scaling_corpus(spark, {n_docs}, {pages_per_doc})
+if {web}:
+    from tesseract_glue_spark.operators.web import wrap_text_spans_html
+    docs = wrap_text_spans_html(docs)
+materialize_corpus(spark, docs, {corpus_dir!r}, partitions=32)
 spark.stop()
 """
 
@@ -75,28 +84,38 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--pages", type=int, default=4)
     ap.add_argument("--md", action="store_true", help="append results to BENCH.md")
+    ap.add_argument(
+        "--web",
+        action="store_true",
+        help="web-mode pipeline (HTML text spans DOM-stripped + media OCR'd)",
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.abspath(__file__))
     corpus_dir = os.path.join(
-        tempfile.gettempdir(), f"tg_scaling_{args.docs}x{args.pages}"
+        tempfile.gettempdir(),
+        f"tg_scaling_{'web_' if args.web else ''}{args.docs}x{args.pages}",
     )
     if not os.path.exists(os.path.join(corpus_dir, "pages", "_SUCCESS")):
         subprocess.run(
             [sys.executable, "-c", PREP.format(
-                repo=repo, n_docs=args.docs, pages_per_doc=args.pages, corpus_dir=corpus_dir
+                repo=repo, n_docs=args.docs, pages_per_doc=args.pages,
+                corpus_dir=corpus_dir, web=args.web,
             )],
             check=True, timeout=3000, capture_output=True, text=True,
         )
 
     results = {}
     for cpus in (args.n, args.n * 4):
-        results[cpus] = run_worker(WORKER.format(repo=repo, cpus=cpus, corpus_dir=corpus_dir))
+        results[cpus] = run_worker(
+            WORKER.format(repo=repo, cpus=cpus, corpus_dir=corpus_dir, web=args.web)
+        )
 
     small, big = results[args.n], results[args.n * 4]
     eff = round(big["docs_per_sec"] / (4.0 * small["docs_per_sec"]), 3)
     out = {
-        "metric": "scaling_efficiency_N_to_4N",
+        "metric": "scaling_efficiency_N_to_4N"
+        + ("_web" if args.web else ""),
         "value": eff,
         "unit": "ratio",
         "n_cpus": args.n,

@@ -732,12 +732,10 @@ _SPAN_PREFIX = _HEAD + _NAV + "<article><h1>"
 _SPAN_SUFFIX = "</h1></article>" + _FOOTER + "</body></html>"
 
 
-def web_interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The interleaved truth corpus with every text span's payload
-    replaced by its HTML-wrapped page — the web-document variant of
-    ``fixtures.interleaved_documents`` (media spans untouched)."""
-    from tesseract_glue_spark.fixtures import interleaved_documents
-
+def wrap_text_spans_html(docs: DataFrame) -> DataFrame:
+    """Any interleaved (doc_id, spans) frame with every text span's
+    payload replaced by its HTML-wrapped page (media spans untouched) —
+    pure JVM-side transform(), no UDF."""
     wrap = (
         "transform(spans, s -> named_struct("
         "'kind', s.kind, "
@@ -745,8 +743,15 @@ def web_interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'media_ref', s.media_ref, "
         "'offset', s.offset))"
     )
-    docs = interleaved_documents(spark, sf_dir)
     return docs.select("doc_id", F.expr(wrap).alias("spans"))
+
+
+def web_interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved truth corpus in web form — the web-document
+    variant of ``fixtures.interleaved_documents``."""
+    from tesseract_glue_spark.fixtures import interleaved_documents
+
+    return wrap_text_spans_html(interleaved_documents(spark, sf_dir))
 
 
 STRIPPED_SPAN_SCHEMA = T.StructType(
@@ -758,8 +763,19 @@ STRIPPED_SPAN_SCHEMA = T.StructType(
 )
 
 
-def strip_text_spans(spans: DataFrame) -> DataFrame:
-    """(doc_id, offset, text=html) → main content per text span."""
+def strip_text_spans(spans: DataFrame, fan_out: bool | None = None) -> DataFrame:
+    """(doc_id, offset, text=html) → main content per text span.
+
+    ``fan_out=None`` (auto) repartitions ONLY when the input plan has
+    fewer partitions than the cluster's parallelism. Unconditional
+    round-robin fan-out here was measured a 1.5× wall regression on the
+    full web pipeline at local[16] (41.4 s → 26.7 s without it): it
+    shuffles every HTML payload AND adds a stage that interleaves with
+    the OCR stage, while a map-only kernel over an adequately-split
+    input needs neither — at crawl scale the input splits provide the
+    parallelism. Tiny local inputs (one parquet file) still fan out."""
+    from tesseract_glue_spark.sources.shipping import ensure_shipped
+
     from tesseract_glue_spark.web.html_main import extract_main
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -770,9 +786,15 @@ def strip_text_spans(spans: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in STRIPPED_SPAN_SCHEMA.fields])
 
-    return _fan_out(spans.select("doc_id", "offset", "text")).mapInPandas(
-        run, schema=STRIPPED_SPAN_SCHEMA
-    )
+    src = spans.select("doc_id", "offset", "text")
+    if fan_out is None:
+        par = src.sparkSession.sparkContext.defaultParallelism
+        fan_out = src.rdd.getNumPartitions() < par
+    if fan_out:
+        src = _fan_out(src)
+    else:
+        ensure_shipped(src.sparkSession)
+    return src.mapInPandas(run, schema=STRIPPED_SPAN_SCHEMA)
 
 
 def web_strip_exploded(spans: DataFrame) -> DataFrame:

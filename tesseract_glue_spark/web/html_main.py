@@ -80,13 +80,14 @@ class Block:
         return self.link_chars / self.raw_chars if self.raw_chars else 0.0
 
 
-class _BlockParser(HTMLParser):
-    """Streaming block segmenter. Tolerant of malformed markup — the
-    stdlib parser never raises on bad nesting, and depth counters are
-    clamped at zero so stray close tags cannot corrupt state."""
+class _SegmenterMixin:
+    """The block/link state machine, parser-agnostic: driven either by
+    stdlib ``html.parser`` (reference) or the fast regex tokenizer
+    (production — ``web/html_fast.py``). Tolerant of malformed markup;
+    depth counters are clamped at zero so stray close tags cannot
+    corrupt state."""
 
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
+    def _init_state(self) -> None:
         self.blocks: list[Block] = []
         self.links: list[Link] = []
         self._parts: list[str] = []
@@ -167,10 +168,33 @@ class _BlockParser(HTMLParser):
             self._a_parts.append(data)
 
 
-def _parse(html: str) -> _BlockParser:
-    p = _BlockParser()
-    p.feed(html or "")
-    p.close()
+class _BlockParser(_SegmenterMixin, HTMLParser):
+    """Reference implementation on stdlib html.parser — kept for the
+    differential test that pins the fast tokenizer's semantics."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._init_state()
+
+
+class _FastBlockParser(_SegmenterMixin):
+    """Production implementation: same state machine, fed by the
+    single-regex-scan tokenizer (~5× the stdlib path — BENCH.md §3)."""
+
+    def __init__(self) -> None:
+        self._init_state()
+
+
+def _parse(html: str, reference: bool = False):
+    from tesseract_glue_spark.web.html_fast import feed_tokens
+
+    if reference:
+        p = _BlockParser()
+        p.feed(html or "")
+        p.close()
+    else:
+        p = _FastBlockParser()
+        feed_tokens(p, html or "")
     p._flush()
     return p
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from tesseract_glue_spark.web.html_main import (
     LABEL_CHROME,
@@ -105,6 +107,63 @@ class TestHtmlBlocks:
         # raw chars: 'abcde'(link,5) + ' tail'(5) => 10 raw, 5 link
         html = '<p><a href="/">abcde</a> tail</p>'
         assert extract_main(html)["link_density_x10k"] == 5000
+
+
+class TestFastParserDifferential:
+    """The regex tokenizer must observe exactly what stdlib html.parser
+    observes — blocks AND links — on realistic markup."""
+
+    CASES = [
+        f"<html><head><style>p{{x:1}}</style><script>if(1<2){{}}</script></head><body><p>{LONG}</p>",
+        f"<nav><a href='/x'>x</a></nav><article><h1>t</h1><p>{LONG} &amp; &#8212; d&eacute;j&agrave;</p></article>",
+        f'<div CLASS="a" href=nope><A HREF = "/q?a=1&amp;b=2" rel=x>{LONG}</a><br/><br>tail</div>',
+        f"<p>{LONG}<!-- comment <p>fake</p> --><p>{LONG}</p><![CDATA[<p>no</p>]]>",
+        f"<ul><li>{LONG}<li>{LONG}</ul><table><tr><td>{LONG}</td></tr></table>",
+        f"<p>{LONG}</div></p></footer><p>{LONG}",
+        f"<p>a < b and c > d</p><p>{LONG}</p>",
+        f"<P >{LONG}</ P><a href='/u'><b>bold {LONG}</b></a>",
+        "<!DOCTYPE html><?pi x?><p>short</p><aside><a href=/f>f</a></aside>",
+        f"<script>var s = '</div>';</script><p>{LONG}</p><style>.a{{content:'</p>'}}</style>",
+    ]
+
+    def _observe(self, html, reference):
+        from tesseract_glue_spark.web.html_main import _parse
+
+        p = _parse(html, reference=reference)
+        return (
+            [(b.text, b.raw_chars, b.link_chars, b.tag, b.chrome) for b in p.blocks],
+            [(l.href, l.anchor, l.chrome) for l in p.links],
+        )
+
+    def test_handwritten_cases_identical(self):
+        for html in self.CASES:
+            assert self._observe(html, False) == self._observe(html, True), html
+
+    @given(
+        parts=st.lists(
+            st.one_of(
+                st.sampled_from(
+                    [
+                        "<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>",
+                        '<a href="/x">', "</a>", "<br>", "<br/>", "<h2>", "</h2>",
+                        "<footer>", "</footer>", "<script>x<y</script>",
+                        "<!-- c -->", "<li>", "</li>",
+                    ]
+                ),
+                st.text(
+                    st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="<"),
+                    min_size=0,
+                    max_size=40,
+                ),
+            ),
+            min_size=0,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_generated_markup_identical(self, parts):
+        html = "".join(parts)
+        assert self._observe(html, False) == self._observe(html, True), html
 
 
 class TestPdfCodec:
