@@ -161,10 +161,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_pagerank_spark,
     )
 
+    from tesseract_glue_spark.operators.web import (
+        html_metadata_spark,
+        web_robots_filter_spark,
+    )
+
     q["html_main_content"] = html_main_content_spark
+    q["html_metadata"] = html_metadata_spark
     q["html_outlinks"] = html_outlinks_spark
     q["web_link_graph"] = web_link_graph_spark
     q["web_pagerank"] = web_pagerank_spark
+    q["web_robots_filter"] = web_robots_filter_spark
     q["warc_ingest"] = warc_ingest_spark
     q["warc_main_content"] = warc_main_content_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
@@ -237,10 +244,17 @@ def oracle_sql() -> dict[str, str]:
         web_pagerank_oracle_sql,
     )
 
+    from tesseract_glue_spark.operators.web import (
+        html_metadata_oracle_sql,
+        web_robots_filter_oracle_sql,
+    )
+
     o["html_main_content"] = html_main_content_oracle_sql()
+    o["html_metadata"] = html_metadata_oracle_sql()
     o["html_outlinks"] = html_outlinks_oracle_sql()
     o["web_link_graph"] = web_link_graph_oracle_sql()
     o["web_pagerank"] = web_pagerank_oracle_sql()
+    o["web_robots_filter"] = web_robots_filter_oracle_sql()
     o["warc_ingest"] = warc_ingest_oracle_sql()
     o["warc_main_content"] = warc_main_content_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()

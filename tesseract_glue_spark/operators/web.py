@@ -39,9 +39,21 @@ _NAV = '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">
 _ASIDE = "<aside>limited time offer click here</aside>"
 _SHARE = '<div><a href="#">tw</a> <a href="#">fb</a> <a href="#">rss</a></div>'
 _FOOTER = '<footer><a href="/terms">terms</a> <a href="/privacy">privacy</a></footer>'
-_HEAD = (
-    "<html><head><title>synthetic</title><style>body{margin:0}</style>"
-    "<script>var x = 1;</script></head><body>"
+_HEAD_OPEN = "<html><head>"
+_HEAD_REST = "<style>body{margin:0}</style><script>var x = 1;</script></head><body>"
+# span-wrapper pages keep a constant head; the page corpus injects
+# doc-dependent metadata (title / meta description / canonical) between
+# _HEAD_OPEN and _HEAD_REST — invisible to the block segmenter (head is
+# a skip subtree), surfaced by the html_metadata query
+_HEAD = _HEAD_OPEN + "<title>synthetic</title>" + _HEAD_REST
+_TITLE_EXPR = "'doc ' || CAST(doc_id AS STRING) || ': ' || trim(substr(text, 1, 15))"
+_DESC_EXPR = "'about ' || trim(substr(text, 1, 20))"
+_CANONICAL_EXPR = "'https://example.org/doc/' || CAST(doc_id AS STRING)"
+_META_HEAD_EXPR = (
+    f"'{_HEAD_OPEN}<title>' || {_TITLE_EXPR} || '</title>'"
+    f" || '<meta name=\"description\" content=\"' || {_DESC_EXPR} || '\">'"
+    f" || '<link rel=\"canonical\" href=\"' || {_CANONICAL_EXPR} || '\">'"
+    f" || '{_HEAD_REST}'"
 )
 # inline link href is doc-dependent (doc_id % 50) so the link-graph
 # operators aggregate a real key distribution, not one constant
@@ -73,7 +85,7 @@ def html_corpus_expr() -> str:
     (doc_id%3=0), a second paragraph (doc_id%2=0), and a link-list share
     bar that only the density rule can reject (doc_id%3=1)."""
     return (
-        f"'{_HEAD}{_NAV}'"
+        f"{_META_HEAD_EXPR} || '{_NAV}'"
         f" || CASE WHEN doc_id % 3 = 0 THEN '{_ASIDE}' ELSE '' END"
         f" || '<article><h1>' || {_H1} || '</h1>'"
         f" || '<p>' || text || '{_INLINE_LINK_PRE}' || {_REF_HREF} || '{_INLINE_LINK_POST}</p>'"
@@ -173,6 +185,50 @@ def html_main_content_oracle_sql(table: str = "documents") -> str:
            {exp_main} AS main_text,
            CAST({n_blocks} AS BIGINT) AS n_blocks,
            CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_content_blocks
+    FROM {table}
+    """.strip()
+
+
+HTML_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("meta_description", T.StringType()),
+        T.StructField("canonical", T.StringType()),
+    ]
+)
+
+
+def html_metadata(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) → index-grade head metadata (title, meta
+    description, canonical URL) — the fields a search/index pipeline
+    keeps when the body goes to the training corpus."""
+    from tesseract_glue_spark.web.html_main import extract_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                m = extract_metadata(html)
+                rows.append((doc_id, m["title"], m["description"], m["canonical"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in HTML_META_SCHEMA.fields])
+
+    return _fan_out(pages.select("doc_id", "html")).mapInPandas(
+        run, schema=HTML_META_SCHEMA
+    )
+
+
+def html_metadata_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return html_metadata(spark.sql(html_corpus_sql(D.SPARK)))
+
+
+def html_metadata_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           {_TITLE_EXPR} AS title,
+           {_DESC_EXPR} AS meta_description,
+           {_CANONICAL_EXPR} AS canonical
     FROM {table}
     """.strip()
 
@@ -324,6 +380,74 @@ def url_normalize_sql(d: str, table: str = "documents") -> str:
 WEB_SQL_OPS = {
     "web_url_normalize": url_normalize_sql,
 }
+
+
+# ------------------------------------------------------- robots.txt gate
+
+# Crawl-politeness contract: one constant robots.txt, our agent gets
+# path-prefix rules (first-match semantics, stdlib urllib.robotparser),
+# every other agent is banned — the filter must select the right
+# user-agent section, not just match paths.
+ROBOTS_TXT = (
+    "User-agent: trainbot\n"
+    "Disallow: /private/\n"
+    "Disallow: /doc/archive/\n"
+    "Allow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+ROBOTS_AGENT = "trainbot"
+
+_ROBOTS_URL_EXPR = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'https://example.org/private/' || CAST(doc_id AS STRING) "
+    "WHEN doc_id % 3 = 1 THEN 'https://example.org/doc/archive/' || CAST(doc_id AS STRING) "
+    "ELSE 'https://example.org/doc/' || CAST(doc_id AS STRING) || '/view' END"
+)
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("allowed", T.LongType()),
+    ]
+)
+
+
+def robots_filter(urls: DataFrame, robots_txt: str = ROBOTS_TXT, agent: str = ROBOTS_AGENT) -> DataFrame:
+    """(doc_id, url) → crawl-permission verdict per URL via stdlib
+    ``urllib.robotparser`` (parsed once per Arrow batch iterator, i.e.
+    once per task — the parse is driver-shipped text, not a fetch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.robotparser import RobotFileParser
+
+        rp = RobotFileParser()
+        rp.parse(robots_txt.splitlines())
+        for pdf in batches:
+            rows = [
+                (doc_id, url, int(rp.can_fetch(agent, url)))
+                for doc_id, url in zip(pdf["doc_id"], pdf["url"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in ROBOTS_SCHEMA.fields])
+
+    return _fan_out(urls.select("doc_id", "url")).mapInPandas(run, schema=ROBOTS_SCHEMA)
+
+
+def web_robots_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    urls = spark.sql(f"SELECT doc_id, {_ROBOTS_URL_EXPR} AS url FROM documents")
+    return robots_filter(urls)
+
+
+def web_robots_filter_oracle_sql(table: str = "documents") -> str:
+    """Closed form from the rules: /private/ and /doc/archive/ prefixes
+    are disallowed for trainbot, everything else allowed."""
+    return f"""
+    SELECT doc_id, {_ROBOTS_URL_EXPR} AS url,
+           CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 0 ELSE 1 END AS BIGINT) AS allowed
+    FROM {table}
+    """.strip()
 
 
 # ------------------------------------------------------------------ WARC

@@ -35,6 +35,13 @@ _TAG_RE = re.compile(
 _HREF_RE = re.compile(
     r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
 )
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9:_-]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+)
+# tags whose FULL attr list is materialized (metadata carriers); for
+# everything else only <a href> is parsed — attr parsing on every tag
+# is what makes the stdlib path slow
+_ATTR_TAGS = frozenset({"meta", "link", "base", "img", "source"})
 _CDATA_CLOSE = {
     "script": re.compile(r"</\s*script[^>]*>", re.IGNORECASE | re.DOTALL),
     "style": re.compile(r"</\s*style[^>]*>", re.IGNORECASE | re.DOTALL),
@@ -72,7 +79,12 @@ def feed_tokens(sink, html: str) -> None:
         if name is None:
             continue  # comment / CDATA / doctype / PI
         tag = name.lower()
-        href = _href_attr(attrs) if tag == "a" else _NO_ATTRS
+        if tag == "a":
+            href = _href_attr(attrs)
+        elif tag in _ATTR_TAGS:
+            href = _all_attrs(attrs)
+        else:
+            href = _NO_ATTRS
         if selfclose:
             sink.handle_startendtag(tag, href)
             continue
@@ -91,6 +103,16 @@ def feed_tokens(sink, html: str) -> None:
 
 
 _NO_ATTRS: list[tuple[str, str]] = []
+
+
+def _all_attrs(attrs: str | None) -> list[tuple[str, str]]:
+    if not attrs:
+        return _NO_ATTRS
+    out = []
+    for m in _ATTR_RE.finditer(attrs):
+        raw = m.group(2) or m.group(3) or m.group(4) or ""
+        out.append((m.group(1).lower(), unescape(raw) if "&" in raw else raw))
+    return out
 
 
 def _href_attr(attrs: str | None) -> list[tuple[str, str]]:

@@ -231,6 +231,63 @@ def segment_blocks(html: str) -> list[Block]:
     return blocks
 
 
+class _MetadataSink:
+    """Head-metadata collector for :func:`extract_metadata` — a second,
+    tiny sink for the same fast tokenizer: the block segmenter SKIPS
+    ``<head>`` (invisible text), so index-grade metadata (title, meta
+    description, canonical URL) needs its own pass."""
+
+    def __init__(self) -> None:
+        self.title = ""
+        self.description = ""
+        self.canonical = ""
+        self._in_title = 0
+        self._title_parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "title":
+            self._in_title += 1
+        elif tag in ("meta", "link"):
+            self.handle_startendtag(tag, attrs)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if not attrs:
+            return
+        a = dict(attrs)
+        if tag == "meta" and not self.description:
+            if a.get("name", "").lower() == "description":
+                self.description = a.get("content", "")
+        elif tag == "link" and not self.canonical:
+            if a.get("rel", "").lower() == "canonical":
+                self.canonical = a.get("href", "")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = max(0, self._in_title - 1)
+            if not self.title:
+                self.title = " ".join("".join(self._title_parts).split())
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_parts.append(data)
+
+
+def extract_metadata(html: str) -> dict:
+    """(title, description, canonical) of a page — first occurrence of
+    each wins, title whitespace-collapsed."""
+    from tesseract_glue_spark.web.html_fast import feed_tokens
+
+    sink = _MetadataSink()
+    feed_tokens(sink, html or "")
+    if not sink.title and sink._title_parts:  # unclosed <title> at EOF
+        sink.title = " ".join("".join(sink._title_parts).split())
+    return {
+        "title": sink.title,
+        "description": sink.description,
+        "canonical": sink.canonical,
+    }
+
+
 def extract_main(html: str) -> dict:
     """Main-content record for one document.
 

@@ -103,6 +103,38 @@ class TestHtmlBlocks:
         # inner text; an href-less anchor still records with href=''
         assert [(l.href, l.anchor) for l in links] == [("/o", "out inner er"), ("", "anch")]
 
+    def test_extract_metadata_first_wins_and_collapses(self):
+        from tesseract_glue_spark.web.html_main import extract_metadata
+
+        html = (
+            "<head><title>  One   Title </title>"
+            '<meta name="Description" content="first &amp; best">'
+            '<meta name="description" content="second">'
+            '<link rel="Canonical" href="https://c.org/1">'
+            '<link rel="canonical" href="https://c.org/2"></head>'
+            "<title>body title ignored (first wins)</title>"
+        )
+        m = extract_metadata(html)
+        assert m == {
+            "title": "One Title",
+            "description": "first & best",
+            "canonical": "https://c.org/1",
+        }
+        assert extract_metadata("<p>no head</p>") == {
+            "title": "", "description": "", "canonical": ""
+        }
+
+    def test_robots_rules_first_match_and_agent_section(self):
+        from tesseract_glue_spark.operators.web import ROBOTS_AGENT, ROBOTS_TXT
+        from urllib.robotparser import RobotFileParser
+
+        rp = RobotFileParser()
+        rp.parse(ROBOTS_TXT.splitlines())
+        assert rp.can_fetch(ROBOTS_AGENT, "https://example.org/doc/5/view")
+        assert not rp.can_fetch(ROBOTS_AGENT, "https://example.org/private/5")
+        assert not rp.can_fetch(ROBOTS_AGENT, "https://example.org/doc/archive/5")
+        assert not rp.can_fetch("otherbot", "https://example.org/doc/5/view")
+
     def test_link_density_x10k_exact(self):
         # raw chars: 'abcde'(link,5) + ' tail'(5) => 10 raw, 5 link
         html = '<p><a href="/">abcde</a> tail</p>'
@@ -328,6 +360,22 @@ class TestWebSpark:
         got = web_link_graph_spark(spark, SF_DIR).toPandas()
         exp = self._oracle(web_link_graph_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_html_metadata_and_robots_match_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            html_metadata_oracle_sql,
+            html_metadata_spark,
+            web_robots_filter_oracle_sql,
+            web_robots_filter_spark,
+        )
+
+        got = html_metadata_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(html_metadata_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+        got = web_robots_filter_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(web_robots_filter_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+        assert set(got["allowed"].unique()) == {0, 1}  # both verdicts exercised
 
     def test_web_url_normalize_matches_oracle(self, spark):
         from tesseract_glue_spark.operators.registry import oracle, spark_runner
