@@ -382,6 +382,66 @@ WEB_SQL_OPS = {
 }
 
 
+# --------------------------------------------- composed quality pipeline
+
+
+def web_quality_report_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family composition: web extraction (DOM strip + OCR) →
+    full-document text → quality scoring — the filter stage of a
+    training-data pipeline applied to what the WEB pipeline actually
+    extracted, value-checked end to end."""
+    from uuid import uuid4
+
+    from tesseract_glue_spark.fixtures import pages_for
+    from tesseract_glue_spark.operators.pipeline_report import _quality_cols
+
+    docs = web_interleaved_documents(spark, sf_dir)
+    pages = pages_for(docs)
+    out = extract_web_documents(docs, pages)
+    view = f"_web_extracted_{uuid4().hex[:12]}"  # per-invocation unique
+    joined = out.select(
+        "doc_id",
+        "status",
+        F.array_join(F.expr("transform(spans, s -> s.text)"), " ").alias("full_text"),
+    )
+    joined.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"SELECT doc_id, status, {_quality_cols(D.SPARK, 'full_text')} FROM {view}"
+        )
+    finally:
+        # spark.sql resolves eagerly; the view registration can go
+        spark.catalog.dropTempView(view)
+
+
+def web_quality_report_oracle_sql(table: str = "documents") -> str:
+    """Oracle: the web flat truth (stripped text spans + OCR contract
+    text) re-aggregated per doc in offset order, scored with the same
+    quality projection."""
+    from tesseract_glue_spark.functions import truth
+    from tesseract_glue_spark.operators.pipeline_report import _quality_cols
+
+    d = D.DUCKDB
+    flat = extract_web_flat_oracle_sql(table)
+    n = truth.media_num_expr(d)
+    dangling = f"CASE WHEN o % 2 = 1 AND {n} % 7 <> 0 AND {n} % 13 = 0 THEN 1 ELSE 0 END"
+    status_src = (
+        f"SELECT doc_id, CASE WHEN SUM({dangling}) > 0 THEN 'partial' ELSE 'ok' END AS status "
+        f"FROM {table}, unnest(generate_series(0, 2 * {truth.N_MEDIA})) AS _t(o) GROUP BY doc_id"
+    )
+    return f"""
+    WITH flat AS ({flat}),
+    agg AS (
+        SELECT doc_id, string_agg(text, ' ' ORDER BY "offset") AS full_text
+        FROM flat GROUP BY doc_id
+    ),
+    st AS ({status_src})
+    SELECT agg.doc_id, st.status,
+           {_quality_cols(d, "full_text")}
+    FROM agg JOIN st ON agg.doc_id = st.doc_id
+    """.strip()
+
+
 # ------------------------------------------------------- robots.txt gate
 
 # Crawl-politeness contract: one constant robots.txt, our agent gets

@@ -38,22 +38,27 @@ def extract_stream(
     config: ExtractionConfig | None = None,
     checkpoint_dir: str | None = None,
     n_buckets: int = 16,
+    extractor: Callable | None = None,
 ):
     """Start the streaming extraction; returns the StreamingQuery.
 
     Uses ``trigger(availableNow=True)`` so tests drain deterministically;
-    production drops that for a continuous trigger.
-    """
+    production drops that for a continuous trigger. ``extractor`` swaps
+    the per-batch pipeline (default :func:`extract_documents`; pass
+    ``operators.web.extract_web_documents`` for the web pipeline — the
+    batch-streaming unification means every nested-form extractor
+    streams for free)."""
     from tesseract_glue_spark.operators.extract import extract_documents
     from tesseract_glue_spark.sources import manifests as M
 
+    extract_fn = extractor or extract_documents
     cfg = (config or ExtractionConfig()).validated()
     checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = extract_documents(batch_df, pages, cfg)
+        out = extract_fn(batch_df, pages, cfg)
         # one subdirectory per micro-batch: buckets are doc-hash keyed,
         # so two batches share bucket ids — writing them into one dir
         # would dynamic-overwrite earlier batches' partitions. Replays

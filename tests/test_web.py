@@ -361,6 +361,16 @@ class TestWebSpark:
         exp = self._oracle(web_link_graph_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
 
+    def test_web_quality_report_matches_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            web_quality_report_oracle_sql,
+            web_quality_report_spark,
+        )
+
+        got = web_quality_report_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(web_quality_report_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+
     def test_html_metadata_and_robots_match_oracle(self, spark):
         from tesseract_glue_spark.operators.web import (
             html_metadata_oracle_sql,
@@ -451,6 +461,49 @@ class TestWebSpark:
         got = extract_web_flat_spark(spark, SF_DIR).toPandas()
         exp = self._oracle(extract_web_flat_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_web_extraction_streams_like_batch(self, spark, tmp_path):
+        """Web pipeline as a structured stream (foreachBatch, extractor
+        swap): drained stream output == batch extract_web_documents."""
+        import glob as globmod
+        from functools import reduce
+
+        from pyspark.sql import DataFrame as _DF
+
+        from tesseract_glue_spark import ExtractionConfig
+        from tesseract_glue_spark.fixtures import pages_for
+        from tesseract_glue_spark.operators.web import (
+            extract_web_documents,
+            web_interleaved_documents,
+        )
+        from tesseract_glue_spark.streaming.extract_stream import (
+            extract_stream,
+            read_documents_stream,
+        )
+
+        docs = web_interleaved_documents(spark, SF_DIR)
+        pages = pages_for(docs).cache()
+        src = str(tmp_path / "web_docs_in")
+        docs.repartition(2).write.parquet(src)
+        out = str(tmp_path / "web_stream_out")
+        q = extract_stream(
+            read_documents_stream(spark, src),
+            pages,
+            out,
+            ExtractionConfig(),
+            n_buckets=4,
+            extractor=extract_web_documents,
+        )
+        q.awaitTermination(420)
+        got = reduce(
+            _DF.unionByName,
+            [spark.read.parquet(p) for p in sorted(globmod.glob(f"{out}/batch=*/data"))],
+        )
+        want = extract_web_documents(docs, pages, ExtractionConfig())
+        assert got.count() == want.count() == docs.count()
+        g = {r["doc_id"]: [s["text"] for s in r["spans"]] for r in got.collect()}
+        w = {r["doc_id"]: [s["text"] for s in r["spans"]] for r in want.collect()}
+        assert g == w  # span-sequence equality incl. stripped text
 
     def test_run_extract_web_cli_writes_manifests(self, spark, tmp_path):
         """Production job surface: `run_extract --web` over a
