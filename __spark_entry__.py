@@ -174,9 +174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["web_robots_filter"] = web_robots_filter_spark
     q["warc_ingest"] = warc_ingest_spark
     q["warc_main_content"] = warc_main_content_spark
-    from tesseract_glue_spark.operators.web import web_quality_report_spark
+    from tesseract_glue_spark.operators.web import (
+        web_quality_report_spark,
+        web_sitemap_parse_spark,
+    )
 
     q["web_quality_report"] = web_quality_report_spark
+    q["web_sitemap_parse"] = web_sitemap_parse_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
     q["pdf_spans"] = pdf_spans_spark
     # composed flagship variant: interleaved web docs — text spans are
@@ -260,9 +264,13 @@ def oracle_sql() -> dict[str, str]:
     o["web_robots_filter"] = web_robots_filter_oracle_sql()
     o["warc_ingest"] = warc_ingest_oracle_sql()
     o["warc_main_content"] = warc_main_content_oracle_sql()
-    from tesseract_glue_spark.operators.web import web_quality_report_oracle_sql
+    from tesseract_glue_spark.operators.web import (
+        web_quality_report_oracle_sql,
+        web_sitemap_parse_oracle_sql,
+    )
 
     o["web_quality_report"] = web_quality_report_oracle_sql()
+    o["web_sitemap_parse"] = web_sitemap_parse_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
     o["pdf_spans"] = pdf_spans_oracle_sql()
     o["extract_web_flat"] = extract_web_flat_oracle_sql()

@@ -442,6 +442,82 @@ def web_quality_report_oracle_sql(table: str = "documents") -> str:
     """.strip()
 
 
+# ------------------------------------------------------ sitemap discovery
+
+# Discovery contract: one sitemap XML fragment per doc (url entry with
+# loc + lastmod + priority); every 7th doc's entry is commented out —
+# the parser must honor XML comments, not just regex-scrape <loc>.
+_SM_LOC_EXPR = "'https://example.org/doc/' || CAST(doc_id AS STRING)"
+_SM_LASTMOD_EXPR = (
+    "'2026-' || CASE WHEN doc_id % 12 < 9 THEN '0' ELSE '' END"
+    " || CAST(1 + doc_id % 12 AS STRING) || '-15'"
+)
+_SM_PRIORITY_EXPR = "CAST(CAST(1 + doc_id % 9 AS BIGINT) AS STRING)"  # x10 scale
+_SM_COMMENTED = "doc_id % 7 = 0"
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("priority_x10", T.LongType()),
+    ]
+)
+
+
+def sitemap_corpus_sql(d: str, table: str = "documents") -> str:
+    """Synthetic per-doc sitemap XML (same SQL text both dialects)."""
+    entry = (
+        f"'<url><loc>' || {_SM_LOC_EXPR} || '</loc>'"
+        f" || '<lastmod>' || {_SM_LASTMOD_EXPR} || '</lastmod>'"
+        f" || '<priority>0.' || {_SM_PRIORITY_EXPR} || '</priority></url>'"
+    )
+    body = (
+        f"CASE WHEN {_SM_COMMENTED} THEN '<!-- ' || {entry} || ' -->' ELSE {entry} END"
+    )
+    return (
+        f"SELECT doc_id, '<?xml version=\"1.0\"?>"
+        f"<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">'"
+        f" || {body} || '</urlset>' AS sitemap FROM {table}"
+    )
+
+
+def web_sitemap_parse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl discovery: parse sitemap XML with stdlib ElementTree
+    (namespace-aware, comment-honoring) → one row per live url entry
+    with priority as x10 BIGINT (floats stay out of hashed outputs)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    corpus = spark.sql(sitemap_corpus_sql(D.SPARK))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        ns = {"sm": "http://www.sitemaps.org/schemas/sitemap/0.9"}
+        for pdf in batches:
+            rows = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf["sitemap"]):
+                try:
+                    root = ET.fromstring(xml)
+                except ET.ParseError:
+                    continue
+                for url in root.findall("sm:url", ns):
+                    loc = url.findtext("sm:loc", default="", namespaces=ns)
+                    lastmod = url.findtext("sm:lastmod", default="", namespaces=ns)
+                    prio = url.findtext("sm:priority", default="0.5", namespaces=ns)
+                    rows.append((doc_id, loc, lastmod, int(round(float(prio) * 10))))
+            yield pd.DataFrame(rows, columns=[f.name for f in SITEMAP_SCHEMA.fields])
+
+    return _fan_out(corpus).mapInPandas(run, schema=SITEMAP_SCHEMA)
+
+
+def web_sitemap_parse_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id, {_SM_LOC_EXPR} AS loc, {_SM_LASTMOD_EXPR} AS lastmod,
+           CAST(1 + doc_id % 9 AS BIGINT) AS priority_x10
+    FROM {table} WHERE NOT ({_SM_COMMENTED})
+    """.strip()
+
+
 # ------------------------------------------------------- robots.txt gate
 
 # Crawl-politeness contract: one constant robots.txt, our agent gets

@@ -361,6 +361,20 @@ class TestWebSpark:
         exp = self._oracle(web_link_graph_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
 
+    def test_web_sitemap_parse_matches_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            web_sitemap_parse_oracle_sql,
+            web_sitemap_parse_spark,
+        )
+
+        got = web_sitemap_parse_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(web_sitemap_parse_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+        # commented-out entries must be honored as comments, not scraped
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_live = docs.where("doc_id % 7 <> 0").count()
+        assert len(got) == n_live < docs.count()
+
     def test_web_quality_report_matches_oracle(self, spark):
         from tesseract_glue_spark.operators.web import (
             web_quality_report_oracle_sql,
