@@ -55,8 +55,10 @@ def register(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
     from tesseract_glue_spark.operators.web import (
         html_main_content_spark,
         pdf_text_extract_spark,
+        warc_main_content_spark,
     )
 
     out["html_main_content"] = lambda: html_main_content_spark(spark, sf_dir).count()
     out["pdf_text_extract"] = lambda: pdf_text_extract_spark(spark, sf_dir).count()
+    out["warc_main_content"] = lambda: warc_main_content_spark(spark, sf_dir).count()
     return out
