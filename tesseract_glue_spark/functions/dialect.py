@@ -25,6 +25,17 @@ def regex_literal(d: str, pattern: str) -> str:
     return "'" + pattern + "'"
 
 
+def regexp_replace_all(d: str, col: str, pattern: str, repl: str) -> str:
+    """Replace ALL matches of a RAW regex pattern. Spark's
+    ``regexp_replace`` is global by default; DuckDB's replaces only the
+    FIRST match without the ``'g'`` flag — a silent one-engine-only
+    divergence this helper exists to prevent."""
+    lit = regex_literal(d, pattern)
+    if d == SPARK:
+        return f"regexp_replace({col}, {lit}, '{repl}')"
+    return f"regexp_replace({col}, {lit}, '{repl}', 'g')"
+
+
 def regexp_count(d: str, col: str, pattern: str) -> str:
     """Count non-overlapping matches of a RAW regex pattern. Pattern
     must be valid in both Java regex (Spark) and RE2 (DuckDB) — stick

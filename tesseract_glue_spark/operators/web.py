@@ -46,15 +46,51 @@ _HEAD_REST = "<style>body{margin:0}</style><script>var x = 1;</script></head><bo
 # _HEAD_OPEN and _HEAD_REST — invisible to the block segmenter (head is
 # a skip subtree), surfaced by the html_metadata query
 _HEAD = _HEAD_OPEN + "<title>synthetic</title>" + _HEAD_REST
-_TITLE_EXPR = "'doc ' || CAST(doc_id AS STRING) || ': ' || trim(substr(text, 1, 15))"
-_DESC_EXPR = "'about ' || trim(substr(text, 1, 20))"
 _CANONICAL_EXPR = "'https://example.org/doc/' || CAST(doc_id AS STRING)"
-_META_HEAD_EXPR = (
-    f"'{_HEAD_OPEN}<title>' || {_TITLE_EXPR} || '</title>'"
-    f" || '<meta name=\"description\" content=\"' || {_DESC_EXPR} || '\">'"
-    f" || '<link rel=\"canonical\" href=\"' || {_CANONICAL_EXPR} || '\">'"
-    f" || '{_HEAD_REST}'"
-)
+
+
+def safe_text_expr(d: str, col: str = "text") -> str:
+    """Corpus-template text normalization (dual-dialect, shared by the
+    generator AND every oracle): HTML metachars and ASCII whitespace
+    controls → space, remaining non-printable-ASCII → ``?`` (mirroring
+    the PDF writer's latin-1 ``?`` fold), space runs collapsed, trimmed.
+
+    Raw ``text`` interpolated into markup/attribute values would break
+    Spark/oracle equality on a ``&``, ``<``, ``"`` or double space —
+    this is the gate-corpus contract, not a production kernel: the real
+    HTML/PDF extractors handle arbitrary unicode input (covered by the
+    differential/fuzz tests); the synthetic corpus pins its own input
+    down so the oracle stays closed-form."""
+    x = D.regexp_replace_all(d, col, r'[&<>"\t\n\r\f\x0b]', " ")
+    x = D.regexp_replace_all(d, x, r"[^ -~]", "?")
+    x = D.regexp_replace_all(d, x, r"  +", " ")
+    return f"trim({x})"
+
+
+def doc_text_expr(d: str, col: str = "text") -> str:
+    """Normalized AND non-empty corpus text: a whitespace-/metachar-only
+    document degrades to the literal ``'empty'`` so every corpus
+    template keeps its block structure (an empty h1/paragraph would
+    drop blocks the closed-form oracles count unconditionally)."""
+    return f"COALESCE(nullif({safe_text_expr(d, col)}, ''), 'empty')"
+
+
+def _title_expr(d: str) -> str:
+    doc = doc_text_expr(d)
+    return f"'doc ' || CAST(doc_id AS STRING) || ': ' || trim(substr({doc}, 1, 15))"
+
+
+def _desc_expr(d: str) -> str:
+    return f"'about ' || trim(substr({doc_text_expr(d)}, 1, 20))"
+
+
+def _meta_head_expr(d: str) -> str:
+    return (
+        f"'{_HEAD_OPEN}<title>' || {_title_expr(d)} || '</title>'"
+        f" || '<meta name=\"description\" content=\"' || {_desc_expr(d)} || '\">'"
+        f" || '<link rel=\"canonical\" href=\"' || {_CANONICAL_EXPR} || '\">'"
+        f" || '{_HEAD_REST}'"
+    )
 # inline link href is doc-dependent (doc_id % 50) so the link-graph
 # operators aggregate a real key distribution, not one constant
 _REF_HREF = "'/ref/' || CAST(doc_id % 50 AS STRING)"
@@ -68,28 +104,41 @@ _PREV_DST = f"(doc_id * 7 + 13) % {_DOC_SPACE}"
 _NEXT_DST = f"(doc_id * 3 + 41) % {_DOC_SPACE}"
 _PREV_HREF = f"'/doc/' || CAST({_PREV_DST} AS STRING)"
 _NEXT_HREF = f"'/doc/' || CAST({_NEXT_DST} AS STRING)"
+# inline-link sentence: the plain-text tail after the anchor guarantees
+# the main paragraph stays under MAX_LINK_DENSITY for ANY normalized doc
+# text: link text is 14 chars, constant plain text 10 + 27 = 37, doc
+# text ≥ 1 char → density ≤ 14/(14 + 37 + 1) ≈ 0.269 < 1/3. Without the
+# tail, a doc shorter than ~18 chars flipped the whole main paragraph
+# to boilerplate while the oracle unconditionally kept it.
 _INLINE_LINK_PRE = ' see also <a href="'
-_INLINE_LINK_POST = '">reference docs</a>'
-_INLINE_LINK_TEXT = " see also reference docs"
-
-# doc-derived pieces (same SQL text in both dialects)
-_H1 = "trim(substr(text, 1, 20))"
-_P2 = "trim(reverse(substr(text, 1, 60)))"
+_INLINE_LINK_POST = '">reference docs</a> for background and details'
+_INLINE_LINK_TEXT = " see also reference docs for background and details"
 
 
-def html_corpus_expr() -> str:
-    """SQL expression (valid in BOTH dialects) building the synthetic
+# doc-derived pieces (normalized corpus text per dialect)
+def _h1_expr(d: str) -> str:
+    return f"trim(substr({doc_text_expr(d)}, 1, 20))"
+
+
+def _p2_expr(d: str) -> str:
+    return f"trim(reverse(substr({doc_text_expr(d)}, 1, 60)))"
+
+
+def html_corpus_expr(d: str) -> str:
+    """SQL expression (rendered per dialect) building the synthetic
     HTML page for one ``documents`` row: fixed chrome (nav/footer,
     script+style heads), an article with an h1 + main paragraph with one
     inline link, and doc_id-dependent variants — an ``<aside>`` promo
     (doc_id%3=0), a second paragraph (doc_id%2=0), and a link-list share
-    bar that only the density rule can reject (doc_id%3=1)."""
+    bar that only the density rule can reject (doc_id%3=1). Doc text is
+    normalized via :func:`doc_text_expr` before interpolation."""
+    doc = doc_text_expr(d)
     return (
-        f"{_META_HEAD_EXPR} || '{_NAV}'"
+        f"{_meta_head_expr(d)} || '{_NAV}'"
         f" || CASE WHEN doc_id % 3 = 0 THEN '{_ASIDE}' ELSE '' END"
-        f" || '<article><h1>' || {_H1} || '</h1>'"
-        f" || '<p>' || text || '{_INLINE_LINK_PRE}' || {_REF_HREF} || '{_INLINE_LINK_POST}</p>'"
-        f" || CASE WHEN doc_id % 2 = 0 THEN '<p>' || {_P2} || '</p>' ELSE '' END"
+        f" || '<article><h1>' || {_h1_expr(d)} || '</h1>'"
+        f" || '<p>' || {doc} || '{_INLINE_LINK_PRE}' || {_REF_HREF} || '{_INLINE_LINK_POST}</p>'"
+        f" || CASE WHEN doc_id % 2 = 0 THEN '<p>' || {_p2_expr(d)} || '</p>' ELSE '' END"
         f" || CASE WHEN doc_id % 3 = 1 THEN '{_SHARE}' ELSE '' END"
         f" || '<div><a href=\"' || {_PREV_HREF} || '\">prev</a> <a href=\"' || {_NEXT_HREF} || '\">next</a></div>'"
         f" || '</article>{_FOOTER}</body></html>'"
@@ -97,7 +146,7 @@ def html_corpus_expr() -> str:
 
 
 def html_corpus_sql(d: str, table: str = "documents") -> str:
-    return f"SELECT doc_id, {html_corpus_expr()} AS html FROM {table}"
+    return f"SELECT doc_id, {html_corpus_expr(d)} AS html FROM {table}"
 
 
 HTML_MAIN_SCHEMA = T.StructType(
@@ -157,13 +206,23 @@ def html_main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def expected_main_text_expr() -> str:
-    """The corpus contract's expected main content (both dialects):
-    h1 + main paragraph (text + inline link text) + optional second
-    paragraph, newline-joined."""
+def _p2_is_content(d: str) -> str:
+    """The second paragraph is present for even doc_ids but only counts
+    as CONTENT when it clears the kernel's MIN_CONTENT_CHARS floor (25;
+    it has no links, so density never rejects it) — short documents
+    produce a short reversed paragraph that the kernel correctly treats
+    as boilerplate, and the oracle must mirror that rule."""
+    return f"(doc_id % 2 = 0 AND length({_p2_expr(d)}) >= 25)"
+
+
+def expected_main_text_expr(d: str = D.DUCKDB) -> str:
+    """The corpus contract's expected main content (rendered per
+    dialect): h1 + main paragraph (normalized text + inline link text)
+    + optional second paragraph (when it clears the content floor),
+    newline-joined."""
     return (
-        f"{_H1} || chr(10) || text || '{_INLINE_LINK_TEXT}'"
-        f" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || {_P2} ELSE '' END"
+        f"{_h1_expr(d)} || chr(10) || {doc_text_expr(d)} || '{_INLINE_LINK_TEXT}'"
+        f" || CASE WHEN {_p2_is_content(d)} THEN chr(10) || {_p2_expr(d)} ELSE '' END"
     )
 
 
@@ -184,7 +243,7 @@ def html_main_content_oracle_sql(table: str = "documents") -> str:
     SELECT doc_id,
            {exp_main} AS main_text,
            CAST({n_blocks} AS BIGINT) AS n_blocks,
-           CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_content_blocks
+           CAST(2 + CASE WHEN {_p2_is_content(D.DUCKDB)} THEN 1 ELSE 0 END AS BIGINT) AS n_content_blocks
     FROM {table}
     """.strip()
 
@@ -226,8 +285,8 @@ def html_metadata_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def html_metadata_oracle_sql(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           {_TITLE_EXPR} AS title,
-           {_DESC_EXPR} AS meta_description,
+           {_title_expr(D.DUCKDB)} AS title,
+           {_desc_expr(D.DUCKDB)} AS meta_description,
            {_CANONICAL_EXPR} AS canonical
     FROM {table}
     """.strip()
@@ -680,7 +739,7 @@ def warc_ingest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def warc_ingest_oracle_sql(table: str = "documents") -> str:
     # octet_length(encode(...)): UTF-8 BYTE count — the Spark side
     # measures len(body bytes), and char count only coincides on ASCII
-    body_len = f"octet_length(encode({html_corpus_expr()}))"
+    body_len = f"octet_length(encode({html_corpus_expr(D.DUCKDB)}))"
     return f"""
     SELECT doc_id,
            {_WARC_URL} AS url,
@@ -696,7 +755,7 @@ def warc_main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     responses → DOM-strip the payload to main content. Parse and strip
     pipeline in the generator's stage (no blob shuffle)."""
     from tesseract_glue_spark.web.html_main import extract_main
-    from tesseract_glue_spark.web.warc import warc_responses
+    from tesseract_glue_spark.web.warc import decode_http_body, warc_responses
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -705,7 +764,9 @@ def warc_main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in warc_responses(bytes(blob)):
                     if r["http_status"] != 200 or not r["content_type"].startswith("text/html"):
                         continue
-                    main = extract_main(r["body"].decode("utf-8"))["main_text"]
+                    main = extract_main(decode_http_body(r["body"], r["content_type"]))[
+                        "main_text"
+                    ]
                     rows.append((doc_id, r["url"], main))
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_MAIN_SCHEMA.fields])
 
@@ -929,7 +990,12 @@ def _synthetic_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pdf) synthesized worker-side from the documents table —
     the binary never exists as SQL, but every byte of it derives from
     (doc_id, text), so the parse output has a closed-form oracle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # the corpus contract runs over NORMALIZED text (printable-ASCII,
+    # single-spaced — see safe_text_expr): the writer's latin-1 '?' fold
+    # then never fires, so len(text)/substr arithmetic stays closed-form
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(doc_text_expr(D.SPARK)).alias("text")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -954,9 +1020,10 @@ def pdf_text_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_exprs() -> tuple[str, str, str]:
-    c0 = f"substr(text, 1, {_CHUNK})"
-    c1 = f"substr(text, {_CHUNK + 1}, {_CHUNK})"
-    c2 = f"substr(text, {2 * _CHUNK + 1}, {_CHUNK})"
+    doc = doc_text_expr(D.DUCKDB)
+    c0 = f"substr({doc}, 1, {_CHUNK})"
+    c1 = f"substr({doc}, {_CHUNK + 1}, {_CHUNK})"
+    c2 = f"substr({doc}, {2 * _CHUNK + 1}, {_CHUNK})"
     return c0, c1, c2
 
 
@@ -967,7 +1034,7 @@ def pdf_text_extract_oracle_sql(table: str = "documents") -> str:
     c0, c1, c2 = _chunk_exprs()
     line1 = f"concat_ws(' ', nullif(trim({c0}), ''), nullif(trim({c2}), ''))"
     page1 = f"concat_ws(chr(10), nullif({line1}, ''), nullif(trim({c1}), ''))"
-    page2 = "'doc ' || CAST(doc_id AS VARCHAR) || ' has ' || CAST(length(text) AS VARCHAR) || ' chars'"
+    page2 = "'doc ' || CAST(doc_id AS VARCHAR) || ' has ' || CAST(length(" + doc_text_expr(D.DUCKDB) + ") AS VARCHAR) || ' chars'"
     return f"""
     SELECT doc_id, CAST(1 AS BIGINT) AS page_no, {page1} AS page_text
     FROM {table} WHERE {page1} <> ''
@@ -999,7 +1066,10 @@ def wrap_text_spans_html(docs: DataFrame) -> DataFrame:
     wrap = (
         "transform(spans, s -> named_struct("
         "'kind', s.kind, "
-        f"'text', CASE WHEN s.kind = 'text' THEN concat('{_SPAN_PREFIX}', s.text, '{_SPAN_SUFFIX}') ELSE s.text END, "
+        # text chunks are normalized (safe_text_expr) before being
+        # embedded in markup — raw '&'/'<'/'"'/double-space payloads
+        # would otherwise diverge from the closed-form oracle
+        f"'text', CASE WHEN s.kind = 'text' THEN concat('{_SPAN_PREFIX}', {safe_text_expr(D.SPARK, 's.text')}, '{_SPAN_SUFFIX}') ELSE s.text END, "
         "'media_ref', s.media_ref, "
         "'offset', s.offset))"
     )
@@ -1130,11 +1200,15 @@ def extract_web_flat_oracle_sql(table: str = "documents") -> str:
     ref = truth.media_ref_expr(D.DUCKDB)
     ocr = truth.truth_text_expr(n, D.DUCKDB)
     chunk = f"substr(text, 1 + {j} * {truth.CHUNK}, {truth.CHUNK})"
+    # the wrapper normalizes each chunk (safe_text_expr) before HTML
+    # embedding; the kernel's whitespace collapse is then the identity,
+    # so expected main content = the normalized chunk itself
+    safe_chunk = safe_text_expr(D.DUCKDB, chunk)
     return f"""
     SELECT doc_id,
            CAST(o AS BIGINT) AS "offset",
            CASE WHEN o % 2 = 0 THEN 'text' ELSE 'media' END AS kind,
-           CASE WHEN o % 2 = 0 THEN trim({chunk}) ELSE {ocr} END AS text,
+           CASE WHEN o % 2 = 0 THEN {safe_chunk} ELSE {ocr} END AS text,
            CASE WHEN o % 2 = 1 THEN {ref} ELSE '' END AS media_ref
     FROM {table}, unnest(generate_series(0, 2 * {truth.N_MEDIA})) AS _t(o)
     """.strip()
@@ -1144,7 +1218,7 @@ def pdf_spans_oracle_sql(table: str = "documents") -> str:
     """Raw spans exactly as drawn (untrimmed chunk text, int positions),
     one UNION branch per placement rule."""
     c0, c1, c2 = _chunk_exprs()
-    marker = "'doc ' || CAST(doc_id AS VARCHAR) || ' has ' || CAST(length(text) AS VARCHAR) || ' chars'"
+    marker = "'doc ' || CAST(doc_id AS VARCHAR) || ' has ' || CAST(length(" + doc_text_expr(D.DUCKDB) + ") AS VARCHAR) || ' chars'"
     return f"""
     SELECT doc_id, CAST(1 AS BIGINT) AS page_no, CAST({int(_C0_X)} AS BIGINT) AS x,
            CAST({int(_L0_Y)} AS BIGINT) AS y, {c0} AS seg_text

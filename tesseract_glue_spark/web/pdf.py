@@ -112,15 +112,58 @@ _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
 _PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages(?![a-zA-Z])")
 
-# content-stream tokens: string | number | operator word (incl. ' ")
-_TOK_RE = re.compile(
-    rb"\((?:\\.|[^\\()])*\)"      # literal string (with escapes)
-    rb"|\[|\]"                     # TJ array brackets
+# content-stream tokens other than literal strings: the spec permits
+# BALANCED unescaped parentheses inside literal strings ("(a(b)c)"), so
+# strings need a depth-tracking scanner, not a regex alternative — a
+# regex would mis-tokenize and silently corrupt such text (the writer
+# always escapes parens, so roundtrip tests alone never catch it).
+_NONSTR_TOK_RE = re.compile(
+    rb"\[|\]"                      # TJ array brackets
     rb"|[-+]?\d*\.?\d+"            # number
     rb"|/[^\s\[\]()<>/]+"          # name
-    rb"|[A-Za-z'\"*]+",            # operator
-    re.DOTALL,
+    rb"|[A-Za-z'\"*]+"             # operator
 )
+
+
+def _scan_literal_string(buf: bytes, start: int) -> int:
+    """End offset (exclusive, past the closing paren) of the literal
+    string opening at ``buf[start] == '('``, honoring backslash escapes
+    and balanced nested parens; unterminated strings consume the rest."""
+    depth = 0
+    i = start
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x5C:  # backslash escape: skip the escaped byte
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return n
+
+
+def _tokenize_content(stream: bytes):
+    """Token iterator over a content stream: literal strings via the
+    paren-depth scanner (yielded WITH their outer parens), everything
+    else via the regex; unknown bytes/delimiters are skipped as before."""
+    i, n = 0, len(stream)
+    while i < n:
+        if stream[i] == 0x28:  # (
+            end = _scan_literal_string(stream, i)
+            yield stream[i:end]
+            i = end
+            continue
+        m = _NONSTR_TOK_RE.match(stream, i)
+        if m is not None and m.end() > i:
+            yield m.group(0)
+            i = m.end()
+        else:
+            i += 1
 
 _OCTAL_RE = re.compile(rb"\\([0-7]{1,3})")
 
@@ -178,8 +221,7 @@ def _extract_stream_text(stream: bytes) -> list[tuple[float, float, str]]:
                 vals.append(0.0)
         return vals if len(vals) == n else [0.0] * n
 
-    for m in _TOK_RE.finditer(stream):
-        tok = m.group(0)
+    for tok in _tokenize_content(stream):
         if tok == b"[":
             in_array, array_parts = True, []
             continue
@@ -274,14 +316,25 @@ def _objects_via_xref(data: bytes) -> dict[int, bytes] | None:
         if hm is None:
             return None  # stale/corrupt offsets: fall back to scanning
         body_start = hm.end()
+        # Only treat as a stream object when the `stream` keyword
+        # precedes this object's own `endobj` — an unbounded search from
+        # a stream-LESS object (Catalog, Pages, Font) would latch onto a
+        # LATER object's stream and /Length, producing an over-long body
+        # containing foreign dicts (and /Type /Page misclassification).
+        # A true stream object's payload may contain `endobj` bytes, but
+        # its `stream` keyword still comes first, so the order test is
+        # safe in both directions.
+        em = data.find(b"endobj", body_start)
         skw = _STREAM_KW_RE.search(data, body_start)
-        lm = _LENGTH_RE.search(data, body_start, skw.start()) if skw else None
+        if skw is not None and (em == -1 or skw.start() < em):
+            lm = _LENGTH_RE.search(data, body_start, skw.start())
+        else:
+            skw = lm = None
         if skw and lm:
             # exact byte-accurate body: dict + /Length bytes of stream
             end = skw.end() + int(lm.group(1))
             objs[oid] = data[body_start : end + len(b"\nendstream")]
         else:
-            em = data.find(b"endobj", body_start)
             objs[oid] = data[body_start : em if em != -1 else len(data)]
     return objs or None
 

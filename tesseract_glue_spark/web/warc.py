@@ -114,8 +114,12 @@ def iter_warc_records(data: bytes) -> list[dict]:
         block = data[block_start : block_start + length]
         if len(block) != length:
             raise WarcDecodeError("record block truncated")
+        # reserved keys LAST: a crafted record carrying a header literally
+        # named "block" or "warc_type" must not displace the payload (it
+        # would surface later as an untyped TypeError instead of a
+        # WarcDecodeError / status route)
         records.append(
-            {"warc_type": headers.get("warc-type", ""), "block": block, **headers}
+            {**headers, "warc_type": headers.get("warc-type", ""), "block": block}
         )
         pos = block_start + length
         while data[pos : pos + 2] == CRLF:
@@ -146,6 +150,24 @@ def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
         except ValueError:
             pass
     return status, headers, body
+
+
+def decode_http_body(body: bytes, content_type: str) -> str:
+    """Text decode honoring the Content-Type ``charset=`` parameter,
+    defaulting to UTF-8, never raising: real crawls are full of
+    latin-1/cp1252 pages (and lying charset labels) — a strict decode
+    would kill the Spark task instead of degrading, violating the
+    typed-error policy used for PDF/WARC structural failures."""
+    charset = "utf-8"
+    for part in content_type.split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset" and v.strip():
+            charset = v.strip().strip("\"'")
+            break
+    try:
+        return body.decode(charset, errors="replace")
+    except LookupError:  # unknown/garbage codec label
+        return body.decode("utf-8", errors="replace")
 
 
 def warc_responses(data: bytes) -> list[dict]:

@@ -78,3 +78,51 @@ def test_dedup_ops_on_adversarial_input(spark, fuzz_dir, fuzz_duck):
 
     for name, b in DEDUP_OPS.items():
         _check(spark, fuzz_duck, b, fuzz_dir, name)
+
+
+def _check_query(spark, duck, query_fn, oracle_sql, fuzz_dir, name):
+    from tests.conftest import canonical_csv
+
+    got = _norm_frame(query_fn(spark, fuzz_dir).toPandas())
+    want = _norm_frame(duck.sql(oracle_sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+    assert canonical_csv(got) == canonical_csv(want), (
+        f"{name}: value-hash mismatch (dtype drift?)"
+    )
+
+
+def test_web_gate_on_adversarial_input(spark, fuzz_dir, fuzz_duck):
+    """The web gate corpus interpolates documents.text into HTML markup,
+    attribute values, PDF streams, and WARC payloads — exactly where raw
+    '&'/'<'/'\"'/double-space/unicode/short-text payloads diverged from
+    the closed-form oracles before safe_text_expr. Pin the whole surface
+    against the adversarial corpus, kernels included."""
+    from tesseract_glue_spark.operators import web as W
+
+    pairs = [
+        ("html_main_content", W.html_main_content_spark, W.html_main_content_oracle_sql()),
+        ("html_metadata", W.html_metadata_spark, W.html_metadata_oracle_sql()),
+        ("html_outlinks", W.html_outlinks_spark, W.html_outlinks_oracle_sql()),
+        ("warc_ingest", W.warc_ingest_spark, W.warc_ingest_oracle_sql()),
+        ("warc_main_content", W.warc_main_content_spark, W.warc_main_content_oracle_sql()),
+        ("pdf_text_extract", W.pdf_text_extract_spark, W.pdf_text_extract_oracle_sql()),
+        ("pdf_spans", W.pdf_spans_spark, W.pdf_spans_oracle_sql()),
+    ]
+    for name, fn, osql in pairs:
+        _check_query(spark, fuzz_duck, fn, osql, fuzz_dir, name)
+
+
+def test_web_wrapper_flagship_on_adversarial_input(spark, fuzz_dir, fuzz_duck):
+    """extract_web_flat wraps raw interleaved text-span chunks in HTML
+    (<h1>chunk</h1>) before DOM-stripping — the wrapper normalizes each
+    chunk with the same safe_text_expr contract the oracle applies."""
+    from tesseract_glue_spark.operators import web as W
+
+    _check_query(
+        spark,
+        fuzz_duck,
+        W.extract_web_flat_spark,
+        W.extract_web_flat_oracle_sql(),
+        fuzz_dir,
+        "extract_web_flat",
+    )

@@ -244,6 +244,57 @@ class TestPdfCodec:
         with pytest.raises(PdfDecodeError):
             extract_pdf_spans(bytes(good))
 
+    def test_balanced_unescaped_parens_in_literal_string(self):
+        # PDF spec 7.3.4.2: literal strings may contain BALANCED pairs of
+        # unescaped parentheses — "(a(b)c)" is one string, not two tokens
+        raw = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            b"4 0 obj << >>\nstream\n"
+            b"BT 72 700 Td (a(b)c) Tj ET\n"
+            b"BT 72 680 Td [(x(y(z))w)] TJ ET\n"
+            b"endstream\nendobj\n"
+        )
+        spans = extract_pdf_spans(raw)
+        assert (1, 72.0, 700.0, "a(b)c") in spans
+        assert (1, 72.0, 680.0, "x(y(z))w") in spans
+
+    @staticmethod
+    def _pdf_with_xref(objs: list[bytes]) -> bytes:
+        buf = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for n, body in enumerate(objs, start=1):
+            offsets.append(len(buf))
+            buf += b"%d 0 obj\n%s\nendobj\n" % (n, body)
+        xref_at = len(buf)
+        buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            buf += b"%010d 00000 n \n" % off
+        buf += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+            len(objs) + 1,
+            xref_at,
+        )
+        return bytes(buf)
+
+    def test_streamless_objects_bounded_at_endobj(self):
+        # xref path, NO /Kids array: page classification must rely on
+        # correctly-bounded per-object bodies. An unbounded stream-keyword
+        # search from the stream-less Catalog/Font objects would latch
+        # onto object 4's stream, pulling the /Type /Page dict of object
+        # 3 into their bodies and triplicating the page text.
+        content = b"BT 72 700 Td (once) Tj ET\n"
+        pdf = self._pdf_with_xref(
+            [
+                b"<< /Type /Catalog >>",
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+                b"<< /Type /Page /Contents 4 0 R >>",
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+            ]
+        )
+        assert extract_pdf_spans(pdf) == [(1, 72.0, 700.0, "once")]
+
     def test_stream_payload_containing_keywords(self):
         # adversarial: the DRAWN TEXT contains PDF structural keywords;
         # xref + /Length slicing must not be confused by them once they
@@ -295,6 +346,30 @@ class TestWarcCodec:
         (r,) = warc_responses(raw)
         # HTTP Content-Length slices the body even when bytes trail it
         assert (r["url"], r["content_type"], r["body"]) == ("https://y.org", "text/html", b"body")
+
+    def test_reserved_header_names_do_not_clobber_payload(self):
+        # a crafted record with headers literally named "Block" /
+        # "WARC-Type" must not displace the parsed payload keys
+        from tesseract_glue_spark.web.warc import encode_http_response, warc_responses
+
+        http = encode_http_response(200, "OK", "text/html", b"<p>ok</p>")
+        raw = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://z.org\r\n"
+            b"Block: evil\r\nWarc_Type: evil\r\n"
+            b"Content-Length: %d\r\n\r\n%s\r\n\r\n" % (len(http), http)
+        )
+        (r,) = warc_responses(raw)
+        assert (r["url"], r["http_status"], r["body"]) == ("https://z.org", 200, b"<p>ok</p>")
+
+    def test_charset_aware_body_decode(self):
+        from tesseract_glue_spark.web.warc import decode_http_body
+
+        assert decode_http_body(b"caf\xe9", "text/html; charset=latin-1") == "caf\xe9"
+        assert decode_http_body(b"caf\xc3\xa9", "text/html; charset=utf-8") == "caf\xe9"
+        # invalid utf-8 with no charset: degrade via replacement, never raise
+        assert "�" in decode_http_body(b"caf\xe9", "text/html")
+        # garbage codec label: fall back to utf-8+replace, never raise
+        assert decode_http_body(b"ok", 'text/html; charset="no-such-enc"') == "ok"
 
     def test_typed_errors(self):
         from tesseract_glue_spark.web.warc import WarcDecodeError, encode_warc, warc_responses
