@@ -69,6 +69,15 @@ def main() -> None:
     cfg = ExtractionConfig()
     queries: dict[str, float] = {}
     extras: dict[str, float] = {"n_docs": n_docs, "n_pages": n_pages, "cpus": cpus}
+    # this host shows ~12% hypervisor steal with one-sided slowdowns up
+    # to 1.9x between identical runs; recording the 1-min load at the
+    # start/end of the sample makes a noisy window self-documenting
+    # instead of indistinguishable from a real regression (the r3
+    # flagship sample regressed 25% while every controlled run improved)
+    try:
+        extras["load_1m_start"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
 
     def timed(name: str, fn, runs: int = 2) -> None:
         # one untimed warmup per query: first execution is dominated by
@@ -93,8 +102,9 @@ def main() -> None:
     # not a per-job cost)
     extract_documents(docs, pages, cfg).count()
 
-    # q1: flagship — full extraction end-to-end (best of 2)
-    timed("extract_full", lambda: extract_documents(docs, pages, cfg).count(), runs=2)
+    # q1: flagship — full extraction end-to-end (best of 3: the headline
+    # number gets one extra sample's noise immunity)
+    timed("extract_full", lambda: extract_documents(docs, pages, cfg).count(), runs=3)
     extras["extract_docs_per_sec"] = round(n_docs / queries["extract_full"], 2)
 
     # q2: extraction with salted reassembly (skew-hardened path)
@@ -112,6 +122,10 @@ def main() -> None:
     except ImportError:
         pass
 
+    try:
+        extras["load_1m_end"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "headline_queries_wall",

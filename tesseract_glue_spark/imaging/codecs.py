@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from tesseract_glue_spark.errors import ImageDecodeError
+from tesseract_glue_spark.imaging.jp2 import decode_jp2, is_jp2, jp2_dims
 from tesseract_glue_spark.imaging.png import _PNG_SIG, decode_png, image_dims
 from tesseract_glue_spark.imaging.tiff import (
     TIFF_SIG_BE,
@@ -55,6 +56,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(bytes(data))
     if head[:4] in (TIFF_SIG_LE, TIFF_SIG_BE):
         return decode_tiff(bytes(data))
+    if is_jp2(bytes(data[:12])):
+        # header parse is built-in; the entropy decode inside needs a
+        # JPEG-2000-capable Pillow and degrades to the typed error
+        return decode_jp2(bytes(data))
     if _HAVE_PIL:
         return _pil_decode(bytes(data))
     raise ImageDecodeError(f"unrecognized image container (magic {head[:4]!r})")
@@ -71,6 +76,8 @@ def image_dims_any(data: bytes) -> tuple[int, int]:
         return image_dims(bytes(data))
     if head[:4] in (TIFF_SIG_LE, TIFF_SIG_BE):
         return tiff_dims(bytes(data))
+    if is_jp2(bytes(data[:12])):
+        return jp2_dims(bytes(data))
     if _HAVE_PIL:
         try:
             import io
@@ -89,6 +96,8 @@ def sniff_mime(data: bytes) -> str:
         return "image/png"
     if head[:4] in (TIFF_SIG_LE, TIFF_SIG_BE):
         return "image/tiff"
+    if is_jp2(bytes(data[:12])):
+        return "image/jp2"
     return "application/octet-stream"
 
 
@@ -102,7 +111,17 @@ def codec_versions() -> dict[str, str]:
         "numpy": np.__version__,
         "png-gray8": "builtin",
         "tiff-gray8": "builtin",
+        # header/dims parsing is built-in; pixel decode needs openjpeg
+        "jp2-header": "builtin",
     }
     if _HAVE_PIL:
         out["pillow"] = PIL.__version__
+        try:
+            from PIL import features as _feat
+
+            out["jp2-decode"] = "pillow" if _feat.check("jpg_2000") else "unavailable"
+        except Exception:
+            out["jp2-decode"] = "unavailable"
+    else:
+        out["jp2-decode"] = "unavailable"
     return out

@@ -99,6 +99,50 @@ def distinct_media_refs(spans: DataFrame) -> DataFrame:
     )
 
 
+def ocr_one_page(engine, config: ExtractionConfig, img_bytes):
+    """OCR one page inside a worker: decode → preprocess (Otsu, deskew,
+    XY-cut zones) → recognize, with the degrade-don't-die status
+    mapping. Returns ``(text, status, w, h, n_zones, shear,
+    confidence_x10k, proc_us)``. Shared by the media-only OCR stage and
+    the fused web strip+OCR stage — ONE implementation of the per-page
+    contract."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    if img_bytes is None:
+        return ("", errors.STATUS_DANGLING, 0, 0, 0, 0.0, 0,
+                int(1e6 * (_time.perf_counter() - _t0)))
+    try:
+        gray = kernels.to_grayscale(decode_image(bytes(img_bytes)))
+        h, w = gray.shape
+        n_zones, shear = 0, 0.0
+        if config.preprocess:
+            body = gray[PAYLOAD_ROWS:]
+            ink, t = kernels.otsu_binarize_with_threshold(body)
+            if ink.any():
+                shear = kernels.estimate_shear(ink)
+                if abs(shear) > 1e-3:
+                    # deskew preserves pixel values → the Otsu
+                    # threshold is unchanged; re-binarize by
+                    # compare only (no second histogram pass)
+                    body = kernels.deskew(body, shear)
+                    ink = body <= t
+                n_zones = len(kernels.xy_cut(ink))
+        text = engine.recognize(gray)
+        status = errors.STATUS_EMPTY if text == "" else errors.STATUS_OK
+        if not engine.good:
+            status = errors.STATUS_ENGINE_BAD
+        # confidence: backends expose [0,1]-scaled certainty (the
+        # stub's payload decode is exact → 1.0; a real Tesseract
+        # backend maps mean word confidence here)
+        conf = 0 if not engine.good else 10000
+        return (text, status, w, h, n_zones, float(shear), conf,
+                int(1e6 * (_time.perf_counter() - _t0)))
+    except errors.ExtractionError:
+        return ("", errors.STATUS_DECODE_ERROR, 0, 0, 0, 0.0, 0,
+                int(1e6 * (_time.perf_counter() - _t0)))
+
+
 def _make_ocr_fn(config: ExtractionConfig):
     """Build the mapInPandas kernel. The engine is constructed at most
     once per Python worker process via the module-global cache in
@@ -111,64 +155,23 @@ def _make_ocr_fn(config: ExtractionConfig):
         engine = get_engine(config)  # lazy init, cached for the worker's lifetime
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        import time as _time
 
         for pdf in batches:
             refs, texts, statuses, ws, hs, zones, shears = [], [], [], [], [], [], []
             confs, procs = [], []
             for ref, img_bytes in zip(pdf["media_ref"], pdf["image"]):
                 refs.append(ref)
-                _t0 = _time.perf_counter()
-                if img_bytes is None:
-                    texts.append("")
-                    statuses.append(errors.STATUS_DANGLING)
-                    ws.append(0)
-                    hs.append(0)
-                    zones.append(0)
-                    shears.append(0.0)
-                    confs.append(0)
-                    procs.append(int(1e6 * (_time.perf_counter() - _t0)))
-                    continue
-                try:
-                    gray = kernels.to_grayscale(decode_image(bytes(img_bytes)))
-                    h, w = gray.shape
-                    n_zones, shear = 0, 0.0
-                    if config.preprocess:
-                        body = gray[PAYLOAD_ROWS:]
-                        ink, t = kernels.otsu_binarize_with_threshold(body)
-                        if ink.any():
-                            shear = kernels.estimate_shear(ink)
-                            if abs(shear) > 1e-3:
-                                # deskew preserves pixel values → the Otsu
-                                # threshold is unchanged; re-binarize by
-                                # compare only (no second histogram pass)
-                                body = kernels.deskew(body, shear)
-                                ink = body <= t
-                            n_zones = len(kernels.xy_cut(ink))
-                    text = engine.recognize(gray)
-                    status = errors.STATUS_EMPTY if text == "" else errors.STATUS_OK
-                    if not engine.good:
-                        status = errors.STATUS_ENGINE_BAD
-                    texts.append(text)
-                    statuses.append(status)
-                    ws.append(w)
-                    hs.append(h)
-                    zones.append(n_zones)
-                    shears.append(float(shear))
-                    # confidence: backends expose [0,1]-scaled certainty
-                    # (the stub's payload decode is exact → 1.0; a real
-                    # Tesseract backend maps mean word confidence here)
-                    confs.append(0 if not engine.good else 10000)
-                    procs.append(int(1e6 * (_time.perf_counter() - _t0)))
-                except errors.ExtractionError:
-                    texts.append("")
-                    statuses.append(errors.STATUS_DECODE_ERROR)
-                    ws.append(0)
-                    hs.append(0)
-                    zones.append(0)
-                    shears.append(0.0)
-                    confs.append(0)
-                    procs.append(int(1e6 * (_time.perf_counter() - _t0)))
+                text, status, w, h, n_zones, shear, conf, us = ocr_one_page(
+                    engine, config, img_bytes
+                )
+                texts.append(text)
+                statuses.append(status)
+                ws.append(w)
+                hs.append(h)
+                zones.append(n_zones)
+                shears.append(shear)
+                confs.append(conf)
+                procs.append(us)
             yield pd.DataFrame(
                 {
                     "media_ref": refs,

@@ -525,11 +525,18 @@ def ann_topk_ivf_oracle_sql(d: str = D.DUCKDB, table: str = "embeddings") -> str
 
 def ann_topk_ivf(spark, sf_dir: str, table: str = "embeddings"):
     """IVF ANN, Spark side: same SQL templates as the oracle, executed
-    stepwise. Centroids are materialized as a K-row local DataFrame
-    between steps (K×dim ints collected to the driver — small by
-    construction) so each step's plan scans ``qv`` a bounded number of
-    times and the K-row side broadcasts; K×dim literal arrays inside
-    expressions are a Janino codegen bomb, so values travel as DATA."""
+    stepwise. Centroids stay a DISTRIBUTED K-row frame between steps,
+    materialized per step via ``localCheckpoint`` (flat plans; the
+    K-row side broadcast-joins into the next step). Earlier rounds
+    collected the K centroids to the driver and rebuilt a local
+    DataFrame per Lloyd step — two driver round-trips plus a full
+    re-analysis each iteration, which made the operator's wall a fixed
+    driver-latency floor (it regressed in two successive round benches
+    while every data-bound query improved). Checkpointing keeps the
+    values as data (K×dim literal arrays inside expressions remain a
+    Janino codegen bomb — that constraint only rules out literals, not
+    distributed frames) with ONE action per step, the same shape as the
+    connected-components / PageRank fixpoint loops."""
     from uuid import uuid4
 
     tag = uuid4().hex[:12]  # per-invocation view names: concurrent IVF
@@ -539,11 +546,9 @@ def ann_topk_ivf(spark, sf_dir: str, table: str = "embeddings"):
     qv.createOrReplaceTempView(qv_view)
 
     def materialize(df):
-        rows = df.collect()  # K rows of (cluster, cq)
-        out = spark.createDataFrame(
-            [(int(r["cluster"]), [int(v) for v in r["cq"]]) for r in rows],
-            schema="cluster INT, cq ARRAY<BIGINT>",
-        )
+        # K rows: checkpoint to a single partition so each subsequent
+        # step broadcasts a tiny clean leaf, never a re-derived plan
+        out = df.coalesce(1).localCheckpoint(eager=True)
         out.createOrReplaceTempView(cent_view)
         return out
 

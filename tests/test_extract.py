@@ -389,3 +389,54 @@ class TestTiffPageStore:
         want = extract.extract_flat(docs, pages, ExtractionConfig()).collect()
         key = lambda r: (r["doc_id"], r["offset"] if r["offset"] is not None else -1)
         assert sorted(got, key=key) == sorted(want, key=key)
+
+    def test_extraction_over_jp2_pages_degrades_typed(self, spark, docs, pages):
+        """A JPEG-2000 page store in a sandbox with no libopenjp2: every
+        page's pixel decode fails TYPED inside executors, so extraction
+        must complete with per-doc 'partial' status and empty media
+        text — structure, ordering, and text spans intact — never a
+        task death. (With a JPEG-2000-capable Pillow this store would
+        instead match the PNG store exactly, like the TIFF test.)"""
+        import pandas as pd
+        import pytest as _pytest
+
+        from tesseract_glue_spark.imaging.codecs import image_dims_any
+        from tesseract_glue_spark.imaging.jp2 import encode_jp2_skeleton
+
+        try:
+            from PIL import features as _f
+
+            if _f.check("jpg_2000"):
+                _pytest.skip("decode available: covered by full-equality path")
+        except ImportError:
+            pass
+
+        def transcode(batches):
+            for pdf in batches:
+                out = []
+                for ref, img in zip(pdf["media_ref"], pdf["image"]):
+                    w, h = image_dims_any(bytes(img))
+                    out.append((ref, encode_jp2_skeleton(w, h)))
+                yield pd.DataFrame(out, columns=["media_ref", "image"])
+
+        jp2_pages = pages.select("media_ref", "image").mapInPandas(
+            transcode, schema="media_ref string, image binary"
+        )
+        got = extract.extract_flat(docs, jp2_pages, ExtractionConfig()).collect()
+        want = extract.extract_flat(docs, pages, ExtractionConfig()).collect()
+        key = lambda r: (r["doc_id"], r["offset"] if r["offset"] is not None else -1)
+        got, want = sorted(got, key=key), sorted(want, key=key)
+        assert [(r["doc_id"], r["offset"], r["kind"], r["media_ref"]) for r in got] == [
+            (r["doc_id"], r["offset"], r["kind"], r["media_ref"]) for r in want
+        ]
+        n_media = 0
+        for g, w in zip(got, want):
+            if g["kind"] == "text":
+                assert g["text"] == w["text"]  # text spans untouched
+            elif g["media_ref"]:
+                n_media += 1
+                assert g["text"] == ""  # decode error → degraded empty
+        assert n_media > 0
+        metrics = extract.extract_documents(docs, jp2_pages, ExtractionConfig())
+        statuses = {r["status"] for r in metrics.select("status").distinct().collect()}
+        assert statuses == {"partial"}

@@ -61,6 +61,73 @@ class TestPng:
             decode_png(data[: len(data) // 2])
 
 
+class TestJp2:
+    """JPEG-2000 header codec — the last codec the reference's
+    capability matrix names (tests/test_capabilties.py:11-13 requires
+    libopenjp2 linked). Header/dims/sniff are built-in; pixel decode is
+    honestly gated on a JPEG-2000-capable Pillow (absent here) and
+    degrades to the typed error."""
+
+    def test_sniff_dims_header_container(self):
+        from tesseract_glue_spark.imaging.codecs import image_dims_any, sniff_mime
+        from tesseract_glue_spark.imaging.jp2 import encode_jp2_skeleton, jp2_header
+
+        blob = encode_jp2_skeleton(640, 480, n_components=3)
+        assert sniff_mime(blob) == "image/jp2"
+        assert image_dims_any(blob) == (640, 480)
+        hd = jp2_header(blob)
+        assert (hd["width"], hd["height"], hd["n_components"], hd["container"]) == (
+            640, 480, 3, "jp2",
+        )
+
+    def test_raw_codestream_dims(self):
+        from tesseract_glue_spark.imaging.codecs import image_dims_any
+        from tesseract_glue_spark.imaging.jp2 import J2K_SOC, encode_jp2_skeleton, jp2_header
+
+        blob = encode_jp2_skeleton(123, 45)
+        cs = blob[blob.find(J2K_SOC):]  # slice out the bare codestream
+        hd = jp2_header(cs)
+        assert (hd["width"], hd["height"], hd["container"]) == (123, 45, "j2k")
+        assert image_dims_any(cs) == (123, 45)
+
+    def test_decode_gated_on_openjpeg(self):
+        from tesseract_glue_spark.imaging.codecs import decode_image
+        from tesseract_glue_spark.imaging.jp2 import encode_jp2_skeleton
+
+        try:
+            from PIL import features as _f
+
+            has_jp2 = _f.check("jpg_2000")
+        except ImportError:
+            has_jp2 = False
+        if has_jp2:
+            pytest.skip("JPEG-2000-capable Pillow present: decode path live")
+        with pytest.raises(ImageDecodeError):
+            decode_image(encode_jp2_skeleton(16, 16))
+
+    def test_corrupt_headers_typed_or_zero_dims(self):
+        from tesseract_glue_spark.imaging.jp2 import (
+            JP2_SIG,
+            encode_jp2_skeleton,
+            jp2_dims,
+            jp2_header,
+        )
+
+        blob = encode_jp2_skeleton(64, 64)
+        with pytest.raises(ImageDecodeError):
+            jp2_header(blob[:20])  # truncated mid-box
+        with pytest.raises(ImageDecodeError):
+            jp2_header(JP2_SIG)  # signature only: no ihdr, no codestream
+        assert jp2_dims(blob[:20]) == (0, 0)  # null-image convention
+
+    def test_codec_versions_report_jp2(self):
+        from tesseract_glue_spark.imaging.codecs import codec_versions
+
+        v = codec_versions()
+        assert v["jp2-header"] == "builtin"
+        assert "jp2-decode" in v
+
+
 class TestRenderContract:
     def test_ref_roundtrip(self):
         assert ref_to_num(num_to_ref(42)) == 42

@@ -180,6 +180,12 @@ class TestFastParserDifferential:
                         '<a href="/x">', "</a>", "<br>", "<br/>", "<h2>", "</h2>",
                         "<footer>", "</footer>", "<script>x<y</script>",
                         "<!-- c -->", "<li>", "</li>",
+                        # malformed nesting / attribute soup / entities
+                        "<a href=/u rel=nofollow>", "<a href='/q?a=1&b=2' x>",
+                        "<p class='a b' data-x=\"1\">", "</ p>", "<P >",
+                        "&amp;", "&#8212;", "&eacute;", "&bogus;", "&#xZZ;", "&",
+                        "<em>", "</em>", "<span>", "</span>",
+                        "<!DOCTYPE html>", "<?pi x?>", "<![CDATA[<p>n]]>",
                     ]
                 ),
                 st.text(
@@ -192,7 +198,7 @@ class TestFastParserDifferential:
             max_size=25,
         )
     )
-    @settings(max_examples=150, deadline=None)
+    @settings(max_examples=250, deadline=None)
     def test_generated_markup_identical(self, parts):
         html = "".join(parts)
         assert self._observe(html, False) == self._observe(html, True), html
@@ -302,6 +308,82 @@ class TestPdfCodec:
         evil = "endstream endobj 5 0 obj stream"
         spans = extract_pdf_spans(encode_pdf([[(72, 700, evil)]], compress=False))
         assert spans == [(1, 72.0, 700.0, evil)]
+
+
+class TestPdfFuzz:
+    """Volume fuzz for the PDF reader: writer↔parser differential on
+    arbitrary printable-ASCII payloads (the two sides share no code —
+    the writer escapes, the scanner unescapes), plus byte-mutation
+    robustness (any structural damage must surface as PdfDecodeError or
+    a successful tolerant parse, never an untyped exception)."""
+
+    @given(
+        texts=st.lists(
+            st.text(
+                st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=0,
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        compress=st.booleans(),
+    )
+    @settings(max_examples=250, deadline=None)
+    def test_roundtrip_arbitrary_ascii(self, texts, compress):
+        pages = [
+            [(72.0 + 10 * i, 720.0 - 14 * i, t) for i, t in enumerate(texts)]
+        ]
+        spans = extract_pdf_spans(encode_pdf(pages, compress=compress))
+        assert spans == [
+            (1, 72.0 + 10 * i, 720.0 - 14 * i, t) for i, t in enumerate(texts)
+        ]
+
+    @given(pos=st.integers(min_value=0), byte=st.integers(min_value=0, max_value=255))
+    @settings(max_examples=250, deadline=None)
+    def test_single_byte_mutation_typed_or_parsed(self, pos, byte):
+        base = encode_pdf(
+            [[(72, 700, "stable payload (with) escapes \\ here")],
+             [(72, 700, "page two")]],
+            compress=True,
+        )
+        mutated = bytearray(base)
+        mutated[pos % len(base)] = byte
+        try:
+            extract_pdf_spans(bytes(mutated))
+        except PdfDecodeError:
+            pass  # typed degrade is the contract
+
+
+class TestWarcFuzz:
+    @given(pos=st.integers(min_value=0), byte=st.integers(min_value=0, max_value=255))
+    @settings(max_examples=250, deadline=None)
+    def test_single_byte_mutation_typed_or_parsed(self, pos, byte):
+        from tesseract_glue_spark.web.warc import (
+            WarcDecodeError,
+            encode_http_response,
+            encode_warc,
+            warc_responses,
+        )
+
+        base = encode_warc(
+            [
+                ("warcinfo", "", {}, b"software: fuzz"),
+                (
+                    "response",
+                    "https://x.org/1",
+                    {},
+                    encode_http_response(200, "OK", "text/html", b"<p>body</p>"),
+                ),
+            ],
+            compress=True,
+        )
+        mutated = bytearray(base)
+        mutated[pos % len(base)] = byte
+        try:
+            warc_responses(bytes(mutated))
+        except WarcDecodeError:
+            pass  # typed degrade is the contract
 
 
 class TestWarcCodec:
@@ -515,10 +597,16 @@ class TestWebSpark:
 
     def test_pr_round_semantics_tiny_graph(self):
         """One damped round on a hand-computed 3-node graph: 1→2, 1→3,
-        2→3 (outdeg 2,1). r0=SCALE each. r1(1)=BASE; r1(2)=BASE+
-        .85*(S div 2); r1(3)=BASE+.85*((S div 2)+S)."""
+        2→3 (outdeg 2,1). Node 3 is DANGLING: its full r0 mass (SCALE)
+        is redistributed as SCALE div 3 to every vertex inside the
+        damped term. r0=SCALE each."""
         from tesseract_glue_spark.functions import dialect as D
-        from tesseract_glue_spark.operators.web import PR_BASE, PR_SCALE, _pr_round_sql
+        from tesseract_glue_spark.operators.web import (
+            PR_BASE,
+            PR_SCALE,
+            _dang_verts_sql,
+            _pr_round_sql,
+        )
 
         con = duckdb.connect()
         con.execute("CREATE TABLE verts AS SELECT * FROM (VALUES (1),(2),(3)) t(v)")
@@ -526,18 +614,96 @@ class TestWebSpark:
             "CREATE TABLE edges AS SELECT * FROM (VALUES "
             "(1,2,2),(1,3,2),(2,3,1)) t(src,dst,outdeg)"
         )
+        con.execute(f"CREATE TABLE dangv AS {_dang_verts_sql('verts', 'edges')}")
+        assert [r[0] for r in con.execute("SELECT v FROM dangv").fetchall()] == [3]
         con.execute(
             f"CREATE TABLE r0 AS SELECT v, CAST({PR_SCALE} AS BIGINT) AS rank FROM verts"
         )
         got = dict(
-            con.execute(_pr_round_sql(D.DUCKDB, "verts", "edges", "r0")).fetchall()
+            con.execute(
+                _pr_round_sql(D.DUCKDB, "verts", "edges", "r0", "dangv")
+            ).fetchall()
         )
         half = PR_SCALE // 2
+        dshare = PR_SCALE // 3
         assert got == {
-            1: PR_BASE,
-            2: PR_BASE + (85 * half) // 100,
-            3: PR_BASE + (85 * (half + PR_SCALE)) // 100,
+            1: PR_BASE + (85 * dshare) // 100,
+            2: PR_BASE + (85 * (half + dshare)) // 100,
+            3: PR_BASE + (85 * (half + PR_SCALE + dshare)) // 100,
         }
+
+    @staticmethod
+    def _py_pagerank(verts, edges, rounds):
+        """Python reference of the exact integer round map (floor divs
+        in the same places as the SQL template)."""
+        from tesseract_glue_spark.operators.web import PR_BASE, PR_SCALE
+
+        n = len(verts)
+        srcs = {s for s, _, _ in edges}
+        dang = [v for v in verts if v not in srcs]
+        rank = {v: PR_SCALE for v in verts}
+        for _ in range(rounds):
+            dsum = sum(rank[v] for v in dang)
+            dshare = dsum // n
+            agg = {v: 0 for v in verts}
+            for s, t, outdeg in edges:
+                agg[t] += rank[s] // outdeg
+            new = {v: PR_BASE + (85 * (agg[v] + dshare)) // 100 for v in verts}
+            if new == rank:
+                return rank
+            rank = new
+        return rank
+
+    def test_pagerank_mass_conservation(self, spark):
+        """With the dangling term, total rank mass stays within floor
+        losses of N*SCALE every round (each vertex's two floor divs lose
+        < 2 units, each edge contribution < 1) — without it, a dangling
+        vertex's entire damped mass (up to 0.85*SCALE per vertex)
+        vanished per round."""
+        from tesseract_glue_spark.operators.web import (
+            PR_MAX_ROUNDS,
+            PR_SCALE,
+            web_pagerank_spark,
+        )
+
+        got = web_pagerank_spark(spark, SF_DIR).toPandas()
+        n = len(got)
+        total = int(got["rank_x1m"].sum())
+        # geometric accumulation of per-round floor losses is bounded by
+        # (E + 2N) * damp/(1-damp); the pager contract has E ≤ 2N
+        bound = (4 * n) * 6 * PR_MAX_ROUNDS  # generous, still ≪ N*SCALE/100
+        assert n * PR_SCALE - bound <= total <= n * PR_SCALE
+        assert total >= int(0.99 * n * PR_SCALE)
+
+    def test_pagerank_chain_graph_needs_more_than_three_rounds(self, spark):
+        """A depth-10 chain: rank must propagate ten hops. The unrolled
+        3-round variant (round-3 implementation) gets the tail wrong;
+        the capped fixpoint loop matches the exact reference."""
+        from tesseract_glue_spark.operators.web import PR_MAX_ROUNDS, pagerank_ranks
+
+        verts_list = list(range(11))
+        edges_list = [(i, i + 1, 1) for i in range(10)]
+        verts = spark.createDataFrame([(v,) for v in verts_list], "v long")
+        edges = spark.createDataFrame(edges_list, "src long, dst long, outdeg long")
+        ranks, rounds_run = pagerank_ranks(spark, verts, edges)
+        got = {r["v"]: r["rank"] for r in ranks.collect()}
+        want = self._py_pagerank(verts_list, edges_list, PR_MAX_ROUNDS)
+        assert got == want
+        want3 = self._py_pagerank(verts_list, edges_list, 3)
+        assert got != want3, "3 rounds must NOT suffice on a depth-10 chain"
+        assert rounds_run > 3
+
+    def test_pagerank_fixpoint_stop_engages(self, spark):
+        """An edgeless graph is ALL dangling: after one round every rank
+        is exactly BASE + 0.85*SCALE = SCALE again, so the loop must
+        detect the fixpoint and stop at round 1, not run the full cap."""
+        from tesseract_glue_spark.operators.web import PR_SCALE, pagerank_ranks
+
+        verts = spark.createDataFrame([(v,) for v in range(5)], "v long")
+        edges = spark.createDataFrame([], "src long, dst long, outdeg long")
+        ranks, rounds_run = pagerank_ranks(spark, verts, edges)
+        assert rounds_run == 1
+        assert {r["rank"] for r in ranks.collect()} == {PR_SCALE}
 
     def test_extract_web_flat_matches_oracle(self, spark):
         """Composed flagship: HTML-wrapped text spans + OCR'd media
