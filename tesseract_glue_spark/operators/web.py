@@ -1327,7 +1327,16 @@ def extract_web_documents(
     if cfg.dedup_pages:
         page_side = page_side.dropDuplicates(["media_ref"])
     resolved = refs.join(page_side, "media_ref", "left")
-    media_in = resolved.select(
+    # PER-SIDE partitioning, union AFTER: a union concatenates its
+    # children's partitions without an exchange, so the media side gets
+    # the round-robin fan-out it needs (byte-based AQE coalescing vs
+    # huge per-row OCR cost — same rationale as ocr_media) while the
+    # text side stays MAP-ONLY: repartitioning the union would push
+    # every HTML payload through a shuffle, the exact 1.5× wall
+    # regression round 3 measured and removed from the strip stage.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = cfg.ocr_partitions or 4 * par
+    media_in = resolved.repartition(n_parts).select(
         "media_ref",
         "image",
         F.lit(None).cast("long").alias("doc_id"),
@@ -1341,10 +1350,9 @@ def extract_web_documents(
         F.col("offset").cast("long").alias("offset"),
         F.col("text").alias("payload"),
     )
-    # same round-robin fan-out rationale as ocr_media: byte-based AQE
-    # coalescing vs huge per-row CPU cost, and elision traps
-    n_parts = cfg.ocr_partitions or 4 * docs.sparkSession.sparkContext.defaultParallelism
-    fused_in = media_in.unionByName(text_in).repartition(n_parts)
+    if text_in.rdd.getNumPartitions() < par:  # tiny local inputs only
+        text_in = text_in.repartition(par)
+    fused_in = media_in.unionByName(text_in)
     out = fused_in.mapInPandas(_fused_web_kernel(cfg), schema=WEB_FUSED_SCHEMA)
     # the kernel output (stripped text + OCR text, no page bytes) feeds
     # TWO branches below; materialize once so neither recomputes the
