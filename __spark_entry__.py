@@ -181,6 +181,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_quality_report"] = web_quality_report_spark
     q["web_sitemap_parse"] = web_sitemap_parse_spark
+    # round-4 composed crawl stages: near-dup over EXTRACTED content,
+    # canonicalize-then-dedup crawl frontier
+    from tesseract_glue_spark.operators.web import web_dedup_extracted_spark
+
+    q["web_dedup_extracted"] = web_dedup_extracted_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
     q["pdf_spans"] = pdf_spans_spark
     # composed flagship variant: interleaved web docs — text spans are
@@ -203,6 +208,8 @@ _ROTATION_TAIL = (
     "text_pii_scrub",
     "text_sample_stratified",
     "text_pack_sequences",
+    "text_token_stats",
+    "text_quality",
     "emb_cosine_neardup",
     "emb_cosine_neardup_lsh",
     "emb_ann_topk_brute",
@@ -302,6 +309,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["web_quality_report"] = web_quality_report_oracle_sql()
     o["web_sitemap_parse"] = web_sitemap_parse_oracle_sql()
+    from tesseract_glue_spark.operators.web import web_dedup_extracted_oracle_sql
+
+    o["web_dedup_extracted"] = web_dedup_extracted_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
     o["pdf_spans"] = pdf_spans_oracle_sql()
     o["extract_web_flat"] = extract_web_flat_oracle_sql()

@@ -392,7 +392,7 @@ def web_link_graph_oracle_sql(table: str = "documents") -> str:
 # ------------------------------------------------- URL canonicalization
 
 
-def url_normalize_sql(d: str, table: str = "documents") -> str:
+def url_normalize_sql(d: str, table: str = "documents", raw_expr: str | None = None) -> str:
     """Crawl-frontier URL canonicalization as ONE dual-dialect SQL
     template (Spark query ≡ DuckDB oracle by construction, like the
     text operators): lowercase scheme+host, strip a leading ``www.``,
@@ -406,7 +406,7 @@ def url_normalize_sql(d: str, table: str = "documents") -> str:
     crawl scale this runs as a map-only stage ahead of the frontier
     dedup shuffle."""
     did = "CAST(doc_id AS STRING)"
-    raw = f"""CASE doc_id % 4
+    raw = raw_expr or f"""CASE doc_id % 4
         WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Doc/' || {did} || '?q=1#top'
         WHEN 1 THEN 'http://example.com:80/doc/' || {did}
         WHEN 2 THEN 'https://sub.Example.com/doc/' || {did} || '?a=1&b=2'
@@ -436,8 +436,40 @@ def url_normalize_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
+# frontier raw URLs collide on a 250-slot path space so normalization
+# actually COLLAPSES variants (same page crawled as mixed-case / default
+# -port / fragment'd URLs by different fetches) — the 4-variant shapes
+# of the canonicalizer over a shared id space
+_FRONTIER_DID = "CAST(doc_id % 250 AS STRING)"
+_FRONTIER_RAW = f"""CASE doc_id % 4
+        WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/doc/' || {_FRONTIER_DID} || '#top'
+        WHEN 1 THEN 'http://example.com:80/doc/' || {_FRONTIER_DID}
+        WHEN 2 THEN 'https://Example.COM/doc/' || {_FRONTIER_DID} || '#frag'
+        ELSE 'http://www.example.com/doc/' || {_FRONTIER_DID}
+    END"""
+
+
+def url_frontier_dedup_sql(d: str, table: str = "documents") -> str:
+    """Crawl-frontier dedup composed on the canonicalizer: normalize
+    messy fetch URLs (case / default ports / fragments / www) over a
+    COLLIDING id space, then collapse to one frontier entry per
+    canonical URL — first-seen doc wins, duplicate fetch count kept.
+    This is the dedup shuffle every crawl frontier runs; here it is one
+    groupBy(url_norm) over map-only canonicalization (no UDF), so the
+    only exchange is the frontier key itself."""
+    inner = url_normalize_sql(d, table, raw_expr=_FRONTIER_RAW)
+    return f"""
+    SELECT url_norm, host, tld,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches
+    FROM ({inner}) u
+    GROUP BY url_norm, host, tld
+    """.strip()
+
+
 WEB_SQL_OPS = {
     "web_url_normalize": url_normalize_sql,
+    "web_frontier_dedup": url_frontier_dedup_sql,
 }
 
 
@@ -501,6 +533,52 @@ def web_quality_report_oracle_sql(table: str = "documents") -> str:
     """.strip()
 
 
+# ------------------------------------------- dedup over EXTRACTED content
+
+
+def web_dedup_extracted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical crawl-processing composition: HTML corpus → DOM
+    main-content strip (REAL kernel, mapInPandas) → MinHash-LSH
+    near-dup pairs over the EXTRACTED text. Training-data pipelines
+    dedup what the extractor produced, not the raw fetch bytes —
+    chrome/boilerplate would otherwise dominate the shingle sets and
+    glue unrelated pages together; stripping first is what makes
+    near-dup detection mean "same content".
+
+    Scale shape: map-only strip (no HTML shuffle) → the banded-LSH
+    candidate join over stripped text; the only wide exchanges are the
+    LSH band shuffle and the verify join, both ∝ extracted text, not
+    page bytes."""
+    from uuid import uuid4
+
+    from tesseract_glue_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    stripped = html_main_content_spark(spark, sf_dir).select("doc_id", "main_text")
+    view = f"_web_stripped_{uuid4().hex[:12]}"
+    stripped.createOrReplaceTempView(view)
+    try:
+        # spark.sql resolves eagerly; the view registration can go after
+        return spark.sql(
+            minhash_lsh_pairs_sql(
+                D.SPARK, f"(SELECT doc_id, main_text AS text FROM {view}) web_txt"
+            )
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def web_dedup_extracted_oracle_sql(table: str = "documents") -> str:
+    """Same LSH template over the corpus contract's expected main
+    content — the strip stage's closed form feeds the dedup oracle."""
+    from tesseract_glue_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    src = (
+        f"(SELECT doc_id, {expected_main_text_expr(D.DUCKDB)} AS text "
+        f"FROM {table}) web_txt"
+    )
+    return minhash_lsh_pairs_sql(D.DUCKDB, src)
+
+
 # ------------------------------------------------------ sitemap discovery
 
 # Discovery contract: one sitemap XML fragment per doc (url entry with
@@ -541,29 +619,62 @@ def sitemap_corpus_sql(d: str, table: str = "documents") -> str:
     )
 
 
+def parse_sitemap_xml(xml: str) -> list[dict]:
+    """Entries of ONE sitemap document, covering BOTH protocol shapes
+    (sitemaps.org): ``<urlset>`` page entries (kind='url' with
+    loc/lastmod/priority_x10) and ``<sitemapindex>`` child-sitemap
+    entries (kind='sitemap' with loc/lastmod; a crawler enqueues these
+    for a second discovery pass). Namespace-aware ElementTree, XML
+    comments honored (a commented-out entry is NOT discovered);
+    structurally invalid XML yields no entries (degrade, not die)."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"sm": "http://www.sitemaps.org/schemas/sitemap/0.9"}
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return []
+    out: list[dict] = []
+    for url in root.findall("sm:url", ns):
+        prio = url.findtext("sm:priority", default="0.5", namespaces=ns)
+        try:
+            prio_x10 = int(round(float(prio) * 10))
+        except ValueError:
+            prio_x10 = 5
+        out.append(
+            {
+                "kind": "url",
+                "loc": url.findtext("sm:loc", default="", namespaces=ns),
+                "lastmod": url.findtext("sm:lastmod", default="", namespaces=ns),
+                "priority_x10": prio_x10,
+            }
+        )
+    for sm in root.findall("sm:sitemap", ns):
+        out.append(
+            {
+                "kind": "sitemap",
+                "loc": sm.findtext("sm:loc", default="", namespaces=ns),
+                "lastmod": sm.findtext("sm:lastmod", default="", namespaces=ns),
+                "priority_x10": 0,
+            }
+        )
+    return out
+
+
 def web_sitemap_parse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl discovery: parse sitemap XML with stdlib ElementTree
-    (namespace-aware, comment-honoring) → one row per live url entry
-    with priority as x10 BIGINT (floats stay out of hashed outputs)."""
+    """Crawl discovery: parse sitemap XML (:func:`parse_sitemap_xml`)
+    → one row per live url entry with priority as x10 BIGINT (floats
+    stay out of hashed outputs)."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
     corpus = spark.sql(sitemap_corpus_sql(D.SPARK))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import xml.etree.ElementTree as ET
-
-        ns = {"sm": "http://www.sitemaps.org/schemas/sitemap/0.9"}
         for pdf in batches:
             rows = []
             for doc_id, xml in zip(pdf["doc_id"], pdf["sitemap"]):
-                try:
-                    root = ET.fromstring(xml)
-                except ET.ParseError:
-                    continue
-                for url in root.findall("sm:url", ns):
-                    loc = url.findtext("sm:loc", default="", namespaces=ns)
-                    lastmod = url.findtext("sm:lastmod", default="", namespaces=ns)
-                    prio = url.findtext("sm:priority", default="0.5", namespaces=ns)
-                    rows.append((doc_id, loc, lastmod, int(round(float(prio) * 10))))
+                for e in parse_sitemap_xml(xml):
+                    if e["kind"] == "url":
+                        rows.append((doc_id, e["loc"], e["lastmod"], e["priority_x10"]))
             yield pd.DataFrame(rows, columns=[f.name for f in SITEMAP_SCHEMA.fields])
 
     return _fan_out(corpus).mapInPandas(run, schema=SITEMAP_SCHEMA)
@@ -585,14 +696,18 @@ def web_sitemap_parse_oracle_sql(table: str = "documents") -> str:
 # user-agent section, not just match paths.
 ROBOTS_TXT = (
     "User-agent: trainbot\n"
+    "Crawl-delay: 2\n"
     "Disallow: /private/\n"
     "Disallow: /doc/archive/\n"
     "Allow: /\n"
     "\n"
     "User-agent: *\n"
     "Disallow: /\n"
+    "\n"
+    "Sitemap: https://example.org/sitemap.xml\n"
 )
 ROBOTS_AGENT = "trainbot"
+ROBOTS_CRAWL_DELAY_MS = 2000  # trainbot section's Crawl-delay: 2
 
 _ROBOTS_URL_EXPR = (
     "CASE WHEN doc_id % 3 = 0 THEN 'https://example.org/private/' || CAST(doc_id AS STRING) "
@@ -605,6 +720,7 @@ ROBOTS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("url", T.StringType()),
         T.StructField("allowed", T.LongType()),
+        T.StructField("crawl_delay_ms", T.LongType()),
     ]
 )
 
@@ -619,9 +735,13 @@ def robots_filter(urls: DataFrame, robots_txt: str = ROBOTS_TXT, agent: str = RO
 
         rp = RobotFileParser()
         rp.parse(robots_txt.splitlines())
+        # politeness budget: the agent section's Crawl-delay in ms
+        # (0 when unspecified) — a real fetcher throttles per host on it
+        delay = rp.crawl_delay(agent)
+        delay_ms = int(1000 * delay) if delay is not None else 0
         for pdf in batches:
             rows = [
-                (doc_id, url, int(rp.can_fetch(agent, url)))
+                (doc_id, url, int(rp.can_fetch(agent, url)), delay_ms)
                 for doc_id, url in zip(pdf["doc_id"], pdf["url"])
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in ROBOTS_SCHEMA.fields])
@@ -640,7 +760,8 @@ def web_robots_filter_oracle_sql(table: str = "documents") -> str:
     are disallowed for trainbot, everything else allowed."""
     return f"""
     SELECT doc_id, {_ROBOTS_URL_EXPR} AS url,
-           CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 0 ELSE 1 END AS BIGINT) AS allowed
+           CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 0 ELSE 1 END AS BIGINT) AS allowed,
+           CAST({ROBOTS_CRAWL_DELAY_MS} AS BIGINT) AS crawl_delay_ms
     FROM {table}
     """.strip()
 
@@ -1290,51 +1411,25 @@ def _fused_web_kernel(config):
     return run
 
 
-def extract_web_documents(
-    docs: DataFrame, pages: DataFrame, config=None, fused: bool = True
-) -> DataFrame:
-    """Nested-form web extraction — the production job surface: same
-    output schema as ``extract_documents`` (doc_id, spans, ocr_pages,
-    ocr_empty_pages, status), so lineage manifests, bucketed writes, and
-    bucket-/doc-granular resume apply unchanged (`run_extract --web`).
-    Text spans are DOM-stripped and media spans OCR'd in ONE fused
-    mapInPandas stage (``fused=True``, the default): exactly one Python
-    worker per core, one round-robin fan-out carrying pages+HTML, and
-    one eager materialization of the (small, text-only) kernel output,
-    which both the OCR-stitch branch and the text-span branch then read.
-    ``fused=False`` keeps the round-3 two-stage shape (separate strip
-    and OCR stages on disjoint branches) for A/B scaling measurement."""
-    from tesseract_glue_spark import ExtractionConfig
-    from tesseract_glue_spark.operators.extract import (
-        distinct_media_refs,
-        explode_spans,
-        ocr_media,
-        reassemble,
-        stitch,
-    )
-    from tesseract_glue_spark.sources.shipping import ensure_shipped
+def _fused_web_input(spans: DataFrame, pages: DataFrame, cfg) -> DataFrame:
+    """The fused stage's input: media pages ∪ HTML text spans, each side
+    partitioned BEFORE the union — a union concatenates its children's
+    partitions without an exchange, so the media side gets the
+    round-robin fan-out it needs (byte-based AQE coalescing vs huge
+    per-row OCR cost — same rationale as ocr_media) while the text side
+    stays MAP-ONLY. Repartitioning the union instead pushed every HTML
+    payload through a shuffle — the exact regression round 3 measured
+    and removed from the strip stage (re-measured here as 4→16 scaling
+    0.855 → 0.457); the plan shape is locked by
+    ``tests/test_plans.py::test_fused_web_input_no_html_shuffle``."""
+    from tesseract_glue_spark.operators.extract import distinct_media_refs
 
-    cfg = (config or ExtractionConfig()).validated()
-    spans = explode_spans(docs)
-    if not fused:
-        spans2 = web_strip_exploded(spans)
-        ocr = ocr_media(spans2, pages, cfg)
-        return reassemble(stitch(spans2, ocr, cfg), cfg)
-
-    ensure_shipped(docs.sparkSession)
     refs = distinct_media_refs(spans)
     page_side = pages.select("media_ref", "image")
     if cfg.dedup_pages:
         page_side = page_side.dropDuplicates(["media_ref"])
     resolved = refs.join(page_side, "media_ref", "left")
-    # PER-SIDE partitioning, union AFTER: a union concatenates its
-    # children's partitions without an exchange, so the media side gets
-    # the round-robin fan-out it needs (byte-based AQE coalescing vs
-    # huge per-row OCR cost — same rationale as ocr_media) while the
-    # text side stays MAP-ONLY: repartitioning the union would push
-    # every HTML payload through a shuffle, the exact 1.5× wall
-    # regression round 3 measured and removed from the strip stage.
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = spans.sparkSession.sparkContext.defaultParallelism
     n_parts = cfg.ocr_partitions or 4 * par
     media_in = resolved.repartition(n_parts).select(
         "media_ref",
@@ -1352,7 +1447,41 @@ def extract_web_documents(
     )
     if text_in.rdd.getNumPartitions() < par:  # tiny local inputs only
         text_in = text_in.repartition(par)
-    fused_in = media_in.unionByName(text_in)
+    return media_in.unionByName(text_in)
+
+
+def extract_web_documents(
+    docs: DataFrame, pages: DataFrame, config=None, fused: bool = True
+) -> DataFrame:
+    """Nested-form web extraction — the production job surface: same
+    output schema as ``extract_documents`` (doc_id, spans, ocr_pages,
+    ocr_empty_pages, status), so lineage manifests, bucketed writes, and
+    bucket-/doc-granular resume apply unchanged (`run_extract --web`).
+    Text spans are DOM-stripped and media spans OCR'd in ONE fused
+    mapInPandas stage (``fused=True``, the default): exactly one Python
+    worker per core, one round-robin fan-out carrying pages+HTML, and
+    one eager materialization of the (small, text-only) kernel output,
+    which both the OCR-stitch branch and the text-span branch then read.
+    ``fused=False`` keeps the round-3 two-stage shape (separate strip
+    and OCR stages on disjoint branches) for A/B scaling measurement."""
+    from tesseract_glue_spark import ExtractionConfig
+    from tesseract_glue_spark.operators.extract import (
+        explode_spans,
+        ocr_media,
+        reassemble,
+        stitch,
+    )
+    from tesseract_glue_spark.sources.shipping import ensure_shipped
+
+    cfg = (config or ExtractionConfig()).validated()
+    spans = explode_spans(docs)
+    if not fused:
+        spans2 = web_strip_exploded(spans)
+        ocr = ocr_media(spans2, pages, cfg)
+        return reassemble(stitch(spans2, ocr, cfg), cfg)
+
+    ensure_shipped(docs.sparkSession)
+    fused_in = _fused_web_input(spans, pages, cfg)
     out = fused_in.mapInPandas(_fused_web_kernel(cfg), schema=WEB_FUSED_SCHEMA)
     # the kernel output (stripped text + OCR text, no page bytes) feeds
     # TWO branches below; materialize once so neither recomputes the

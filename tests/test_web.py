@@ -135,6 +135,39 @@ class TestHtmlBlocks:
         assert not rp.can_fetch(ROBOTS_AGENT, "https://example.org/doc/archive/5")
         assert not rp.can_fetch("otherbot", "https://example.org/doc/5/view")
 
+    def test_robots_crawl_delay_and_sitemap_discovery(self):
+        from urllib.robotparser import RobotFileParser
+
+        from tesseract_glue_spark.operators.web import (
+            ROBOTS_AGENT,
+            ROBOTS_CRAWL_DELAY_MS,
+            ROBOTS_TXT,
+        )
+
+        rp = RobotFileParser()
+        rp.parse(ROBOTS_TXT.splitlines())
+        assert int(1000 * rp.crawl_delay(ROBOTS_AGENT)) == ROBOTS_CRAWL_DELAY_MS
+        assert rp.site_maps() == ["https://example.org/sitemap.xml"]
+
+    def test_sitemap_index_entries_parsed(self):
+        from tesseract_glue_spark.operators.web import parse_sitemap_xml
+
+        idx = (
+            '<?xml version="1.0"?>'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<sitemap><loc>https://x.org/sitemap-1.xml</loc>"
+            "<lastmod>2026-01-01</lastmod></sitemap>"
+            "<!-- <sitemap><loc>https://x.org/ghost.xml</loc></sitemap> -->"
+            "<sitemap><loc>https://x.org/sitemap-2.xml</loc></sitemap>"
+            "</sitemapindex>"
+        )
+        got = parse_sitemap_xml(idx)
+        assert [(e["kind"], e["loc"], e["lastmod"]) for e in got] == [
+            ("sitemap", "https://x.org/sitemap-1.xml", "2026-01-01"),
+            ("sitemap", "https://x.org/sitemap-2.xml", ""),
+        ]
+        assert parse_sitemap_xml("<not-xml") == []
+
     def test_link_density_x10k_exact(self):
         # raw chars: 'abcde'(link,5) + ' tail'(5) => 10 raw, 5 link
         html = '<p><a href="/">abcde</a> tail</p>'
@@ -582,6 +615,37 @@ class TestWebSpark:
         got = warc_main_content_spark(spark, SF_DIR).toPandas()
         exp = self._oracle(warc_main_content_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_web_dedup_extracted_matches_oracle(self, spark):
+        """Composed crawl dedup: DOM strip (real kernel) → MinHash-LSH
+        near-dup pairs over the EXTRACTED main content; oracle = same
+        LSH template over the strip contract's closed form."""
+        from tesseract_glue_spark.operators.web import (
+            web_dedup_extracted_oracle_sql,
+            web_dedup_extracted_spark,
+        )
+
+        got = web_dedup_extracted_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(web_dedup_extracted_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_web_frontier_dedup_collapses_variants(self, spark):
+        """Frontier dedup: canonicalization must COLLAPSE the colliding
+        raw-URL variants (case/port/fragment/www over a shared id
+        space) — n_fetches > 1 groups must exist, and totals must add
+        back up to one row per document."""
+        from tesseract_glue_spark.functions import dialect as D
+        from tesseract_glue_spark.operators.web import url_frontier_dedup_sql
+
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+            "documents"
+        )
+        got = spark.sql(url_frontier_dedup_sql(D.SPARK)).toPandas()
+        exp = self._oracle(url_frontier_dedup_sql(D.DUCKDB))
+        assert canonical_csv(got) == canonical_csv(exp)
+        assert (got["n_fetches"] > 1).any()
+        n_docs = spark.table("documents").count()
+        assert int(got["n_fetches"].sum()) == n_docs
 
     def test_web_pagerank_matches_oracle(self, spark):
         from tesseract_glue_spark.operators.web import (
