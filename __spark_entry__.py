@@ -210,6 +210,7 @@ _ROTATION_TAIL = (
     "text_pack_sequences",
     "text_token_stats",
     "text_quality",
+    "text_langid",
     "emb_cosine_neardup",
     "emb_cosine_neardup_lsh",
     "emb_ann_topk_brute",

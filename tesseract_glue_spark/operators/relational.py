@@ -267,6 +267,47 @@ def events_pivot_sql(d: str, table: str = "events") -> str:
     """.strip()
 
 
+def events_asof_join_sql(d: str, table: str = "events") -> str:
+    """As-of join — the canonical time-series operator Spark lacks as a
+    built-in: each 'click' event matched to the MOST RECENT strictly
+    prior 'view' by the same user (the attribution shape; same
+    semantics as pandas merge_asof / kdb aj).
+
+    Scale shape (Spark): ONE sorted window pass over the whole stream —
+    a single user_id shuffle + per-key sort, with the prior-view
+    timestamp carried by a MAX over a strict RANGE frame. Never the
+    naive ``v.ts < c.ts`` inequality join, whose per-key candidate set
+    is quadratic at 10^12 events. The DuckDB rendering uses the
+    engine's NATIVE ``ASOF LEFT JOIN``, so the oracle is an
+    independent implementation of the semantics, not a template mirror
+    (strict ``<`` on both sides keeps tie behavior identical)."""
+    if d == D.SPARK:
+        return f"""
+    SELECT event_id, user_id,
+           CAST(ts_us AS BIGINT) AS click_us,
+           CAST(asof_view_us AS BIGINT) AS asof_view_us
+    FROM (
+        SELECT event_id, user_id, event_type, ts_us,
+               MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS asof_view_us
+        FROM (SELECT event_id, user_id, event_type,
+                     unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us
+              FROM {table}) t0
+    ) w
+    WHERE event_type = 'click'
+    """.strip()
+    return f"""
+    SELECT c.event_id, c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+           CAST(epoch_us(v.ts) AS BIGINT) AS asof_view_us
+    FROM (SELECT * FROM {table} WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM {table} WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts < c.ts
+    """.strip()
+
+
 RELATIONAL_OPS = {
     "rel_pricing_summary": (pricing_summary_sql, ("lineitem",)),
     "rel_top_customers": (top_customers_sql, ("orders", "customer")),
@@ -280,4 +321,5 @@ RELATIONAL_OPS = {
     "rel_pricing_rollup": (pricing_rollup_sql, ("lineitem",)),
     "rel_retained_users": (retained_users_sql, ("events",)),
     "rel_events_pivot": (events_pivot_sql, ("events",)),
+    "rel_events_asof_join": (events_asof_join_sql, ("events",)),
 }

@@ -261,6 +261,51 @@ class TestSqlOperatorParity:
         for name, (b, tabs) in RELATIONAL_OPS.items():
             assert self._check(spark, duck, b, tabs) > 0, name
 
+    def test_asof_join_semantics_handmade(self, spark):
+        """Hand-computed as-of join: strictly-prior (<, not <=) view
+        matching per user, NULL when no prior view exists — the window
+        formulation must agree with the written contract, not just with
+        DuckDB's ASOF (which independently checks it in the gate)."""
+        import pandas as pd
+
+        from tesseract_glue_spark.functions import dialect as D
+        from tesseract_glue_spark.operators.relational import events_asof_join_sql
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = [
+            # user 1: view@10, click@20 (→10), view@20, click@20?  use
+            # distinct ts: click@25 (→20), click@5 (→ NULL, before any view)
+            (1, base + pd.Timedelta(seconds=10), 1, "view"),
+            (2, base + pd.Timedelta(seconds=20), 1, "click"),
+            (3, base + pd.Timedelta(seconds=20), 1, "view"),
+            (4, base + pd.Timedelta(seconds=25), 1, "click"),
+            (5, base + pd.Timedelta(seconds=5), 1, "click"),
+            # user 2: never viewed
+            (6, base + pd.Timedelta(seconds=30), 2, "click"),
+            # same-instant view must NOT match (strict <)
+            (7, base + pd.Timedelta(seconds=40), 3, "view"),
+            (8, base + pd.Timedelta(seconds=40), 3, "click"),
+        ]
+        df = spark.createDataFrame(
+            [(e, t.to_pydatetime(), u, k, 0.0, "{}") for e, t, u, k in rows],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        )
+        df.createOrReplaceTempView("asof_events")
+        got = {
+            r["event_id"]: r["asof_view_us"]
+            for r in spark.sql(
+                events_asof_join_sql(D.SPARK, "asof_events")
+            ).collect()
+        }
+        us = lambda secs: int((base + pd.Timedelta(seconds=secs)).timestamp() * 1e6)
+        assert got == {
+            2: us(10),   # most recent strictly-prior view
+            4: us(20),   # picks the LATER of the two views
+            5: None,     # click before any view
+            6: None,     # user never viewed
+            8: None,     # same-instant view excluded (strict <)
+        }
+
     def test_pack_sequences_groups_parameter(self, spark, duck):
         """`groups` (production: ≈ shuffle parallelism) must flow
         through both dialects identically and widen the packing
