@@ -183,9 +183,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["web_sitemap_parse"] = web_sitemap_parse_spark
     # round-4 composed crawl stages: near-dup over EXTRACTED content,
     # canonicalize-then-dedup crawl frontier
-    from tesseract_glue_spark.operators.web import web_dedup_extracted_spark
+    from tesseract_glue_spark.operators.web import (
+        html_tables_extract_spark,
+        web_dedup_extracted_spark,
+    )
 
     q["web_dedup_extracted"] = web_dedup_extracted_spark
+    q["html_tables_extract"] = html_tables_extract_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
     q["pdf_spans"] = pdf_spans_spark
     # composed flagship variant: interleaved web docs — text spans are
@@ -211,6 +215,7 @@ _ROTATION_TAIL = (
     "text_token_stats",
     "text_quality",
     "text_langid",
+    "text_boilerplate_strip",
     "emb_cosine_neardup",
     "emb_cosine_neardup_lsh",
     "emb_ann_topk_brute",
@@ -310,9 +315,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["web_quality_report"] = web_quality_report_oracle_sql()
     o["web_sitemap_parse"] = web_sitemap_parse_oracle_sql()
-    from tesseract_glue_spark.operators.web import web_dedup_extracted_oracle_sql
+    from tesseract_glue_spark.operators.web import (
+        html_tables_extract_oracle_sql,
+        web_dedup_extracted_oracle_sql,
+    )
 
     o["web_dedup_extracted"] = web_dedup_extracted_oracle_sql()
+    o["html_tables_extract"] = html_tables_extract_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
     o["pdf_spans"] = pdf_spans_oracle_sql()
     o["extract_web_flat"] = extract_web_flat_oracle_sql()

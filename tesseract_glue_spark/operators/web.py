@@ -533,6 +533,101 @@ def web_quality_report_oracle_sql(table: str = "documents") -> str:
     """.strip()
 
 
+# ------------------------------------------------------ table extraction
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("table_no", T.LongType()),
+        T.StructField("row_no", T.LongType()),
+        T.StructField("col_no", T.LongType()),
+        T.StructField("is_header", T.LongType()),
+        T.StructField("cell_text", T.StringType()),
+    ]
+)
+
+
+def _table_cell_exprs(d: str) -> list[tuple[int, int, int, str | None, str]]:
+    """The table corpus contract as (row, col, is_header, condition,
+    cell_expr) tuples — shared by the generator and the oracle."""
+    doc = doc_text_expr(d)
+    return [
+        (0, 0, 1, None, "'field'"),
+        (0, 1, 1, None, "'value'"),
+        (1, 0, 0, None, "'title'"),
+        (1, 1, 0, None, _h1_expr(d)),
+        (2, 0, 0, None, "'len'"),
+        (2, 1, 0, None, f"CAST(length({doc}) AS STRING)"),
+        (3, 0, 0, "doc_id % 2 = 0", "'rev'"),
+        (3, 1, 0, "doc_id % 2 = 0", f"trim(substr({_p2_expr(d)}, 1, 10))"),
+    ]
+
+
+def html_table_corpus_sql(d: str, table: str = "documents") -> str:
+    """Synthetic table page per doc: an intro paragraph OUTSIDE the
+    table (scoping check — it must not leak into any cell), then one
+    table with a header row + data rows (one conditional), cells
+    derived from the normalized doc text."""
+    cells = _table_cell_exprs(d)
+    rows: dict[int, list] = {}
+    for r, c, hdr, cond, expr in cells:
+        rows.setdefault(r, []).append((c, hdr, cond, expr))
+    parts = [f"'<html><body><p>intro ' || {doc_text_expr(d)} || '</p><table>'"]
+    for r in sorted(rows):
+        row_cells = sorted(rows[r])
+        cond = row_cells[0][2]
+        row_sql = " || ".join(
+            f"'<{'th' if hdr else 'td'}>' || {expr} || '</{'th' if hdr else 'td'}>'"
+            for _c, hdr, _cond, expr in row_cells
+        )
+        row_sql = f"'<tr>' || {row_sql} || '</tr>'"
+        if cond:
+            row_sql = f"CASE WHEN {cond} THEN {row_sql} ELSE '' END"
+        parts.append(row_sql)
+    parts.append("'</table></body></html>'")
+    return f"SELECT doc_id, {' || '.join(parts)} AS html FROM {table}"
+
+
+def html_tables_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-table extraction (north_rule "PDF/layout parse, DOM
+    heuristics" — tables are the DOM's layout structure beyond prose):
+    one row per cell with 0-based (table, row, col) coordinates and the
+    header flag, via the :func:`web.html_main.extract_tables` sink over
+    the fast tokenizer. Map-only mapInPandas, same fan-out discipline
+    as the other HTML kernels."""
+    from tesseract_glue_spark.web.html_main import extract_tables
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    corpus = spark.sql(html_table_corpus_sql(D.SPARK))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for cell in extract_tables(html):
+                    rows.append(
+                        (doc_id, cell.table_no, cell.row_no, cell.col_no,
+                         int(cell.is_header), cell.text)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in TABLE_SCHEMA.fields])
+
+    return _fan_out(corpus).mapInPandas(run, schema=TABLE_SCHEMA)
+
+
+def html_tables_extract_oracle_sql(table: str = "documents") -> str:
+    """One UNION branch per cell of the table-corpus contract."""
+    parts = []
+    for r, c, hdr, cond, expr in _table_cell_exprs(D.DUCKDB):
+        where = f" WHERE {cond}" if cond else ""
+        parts.append(
+            f"SELECT doc_id, CAST(0 AS BIGINT) AS table_no, "
+            f"CAST({r} AS BIGINT) AS row_no, CAST({c} AS BIGINT) AS col_no, "
+            f"CAST({hdr} AS BIGINT) AS is_header, {expr} AS cell_text "
+            f"FROM {table}{where}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 # ------------------------------------------- dedup over EXTRACTED content
 
 

@@ -288,6 +288,97 @@ def extract_metadata(html: str) -> dict:
     }
 
 
+@dataclass
+class TableCell:
+    table_no: int
+    row_no: int
+    col_no: int
+    is_header: bool
+    text: str
+
+
+class _TableSink:
+    """Structured-table collector — a third sink for the same fast
+    tokenizer: emits one :class:`TableCell` per ``td``/``th``, with
+    0-based (table, row, col) coordinates in document order. Handles
+    the soup HTML actually serves: implicit cell/row closes (a new
+    ``<td>`` or ``<tr>`` closes the open one), stray text between rows
+    (dropped — it belongs to no cell), and nested tables (data inside
+    the inner table attributes to the INNER table's cells; the outer
+    cell keeps only its own text)."""
+
+    def __init__(self) -> None:
+        self.cells: list[TableCell] = []
+        self._n_tables = 0
+        self._stack: list[dict] = []  # per open table: row/col/cell state
+
+    def _top(self):
+        return self._stack[-1] if self._stack else None
+
+    def _close_cell(self) -> None:
+        t = self._top()
+        if t is None or t["cell"] is None:
+            return
+        text = " ".join("".join(t["buf"]).split())
+        self.cells.append(
+            TableCell(t["no"], t["row"], t["cell"], t["header"], text)
+        )
+        t["cell"] = None
+        t["buf"] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "table":
+            self._close_cell()  # nested table: outer cell text stops here
+            self._stack.append(
+                {"no": self._n_tables, "row": -1, "col": -1, "cell": None,
+                 "header": False, "buf": []}
+            )
+            self._n_tables += 1
+            return
+        t = self._top()
+        if t is None:
+            return
+        if tag == "tr":
+            self._close_cell()
+            t["row"] += 1
+            t["col"] = -1
+        elif tag in ("td", "th"):
+            self._close_cell()
+            if t["row"] < 0:  # rowless cell: implicit first row
+                t["row"] = 0
+            t["col"] += 1
+            t["cell"] = t["col"]
+            t["header"] = tag == "th"
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("td", "th", "tr"):
+            self._close_cell()
+        elif tag == "table" and self._stack:
+            self._close_cell()
+            self._stack.pop()
+
+    def handle_data(self, data: str) -> None:
+        t = self._top()
+        if t is not None and t["cell"] is not None:
+            t["buf"].append(data)
+
+
+def extract_tables(html: str) -> list[TableCell]:
+    """All table cells of a page in document order (0-based table/row/
+    col coordinates, header flag, whitespace-collapsed text)."""
+    from tesseract_glue_spark.web.html_fast import feed_tokens
+
+    sink = _TableSink()
+    feed_tokens(sink, html or "")
+    while sink._stack:  # unclosed tables at EOF: flush what we have
+        sink._close_cell()
+        sink._stack.pop()
+    return sink.cells
+
+
 def extract_main(html: str) -> dict:
     """Main-content record for one document.
 

@@ -107,6 +107,7 @@ def test_web_gate_on_adversarial_input(spark, fuzz_dir, fuzz_duck):
         ("warc_main_content", W.warc_main_content_spark, W.warc_main_content_oracle_sql()),
         ("pdf_text_extract", W.pdf_text_extract_spark, W.pdf_text_extract_oracle_sql()),
         ("pdf_spans", W.pdf_spans_spark, W.pdf_spans_oracle_sql()),
+        ("html_tables_extract", W.html_tables_extract_spark, W.html_tables_extract_oracle_sql()),
     ]
     for name, fn, osql in pairs:
         _check_query(spark, fuzz_duck, fn, osql, fuzz_dir, name)

@@ -135,6 +135,30 @@ class TestHtmlBlocks:
         assert not rp.can_fetch(ROBOTS_AGENT, "https://example.org/doc/archive/5")
         assert not rp.can_fetch("otherbot", "https://example.org/doc/5/view")
 
+    def test_extract_tables_soup_and_nesting(self):
+        from tesseract_glue_spark.web.html_main import extract_tables
+
+        # implicit closes: no </td>, no </tr>
+        cells = extract_tables("<table><tr><th>h1<th>h2<tr><td>a<td>b</table>")
+        assert [(c.row_no, c.col_no, c.is_header, c.text) for c in cells] == [
+            (0, 0, True, "h1"), (0, 1, True, "h2"),
+            (1, 0, False, "a"), (1, 1, False, "b"),
+        ]
+        # nested table: inner cells are their own table; stray text
+        # between rows belongs to no cell; outside text never leaks in
+        cells = extract_tables(
+            "<p>outside</p><table><tr>stray<td>x"
+            "<table><tr><td>inner</td></tr></table></td></tr></table>"
+        )
+        assert [(c.table_no, c.row_no, c.col_no, c.text) for c in cells] == [
+            (0, 0, 0, "x"),
+            (1, 0, 0, "inner"),
+        ]
+        # unclosed table at EOF still flushes its open cell
+        cells = extract_tables("<table><tr><td>tail")
+        assert [(c.row_no, c.col_no, c.text) for c in cells] == [(0, 0, "tail")]
+        assert extract_tables("<p>no tables here</p>") == []
+
     def test_robots_crawl_delay_and_sitemap_discovery(self):
         from urllib.robotparser import RobotFileParser
 
@@ -615,6 +639,17 @@ class TestWebSpark:
         got = warc_main_content_spark(spark, SF_DIR).toPandas()
         exp = self._oracle(warc_main_content_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_html_tables_extract_matches_oracle(self, spark):
+        from tesseract_glue_spark.operators.web import (
+            html_tables_extract_oracle_sql,
+            html_tables_extract_spark,
+        )
+
+        got = html_tables_extract_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(html_tables_extract_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+        assert (got["is_header"] == 1).any() and (got["is_header"] == 0).any()
 
     def test_web_dedup_extracted_matches_oracle(self, spark):
         """Composed crawl dedup: DOM strip (real kernel) → MinHash-LSH
