@@ -169,6 +169,22 @@ def scaled_ratio(d: str, num: str, den: str, scale: int = 10000) -> str:
     )
 
 
+def epoch_us(d: str, col: str) -> str:
+    """Microseconds since epoch of a naive (TIMESTAMP_NTZ) timestamp
+    column, INDEPENDENT of the Spark session timezone. NTZ→NTZ
+    ``timestampdiff`` is pure wall-clock arithmetic; the previous form
+    ``unix_micros(CAST(ts AS TIMESTAMP))`` shifts the value by the
+    session offset, so oracle equality with DuckDB's naive
+    ``epoch_us(ts)`` held only under a UTC session (round-4 advisor
+    finding; verified invariant under America/Chicago)."""
+    if d == SPARK:
+        return (
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+            f"CAST({col} AS TIMESTAMP_NTZ))"
+        )
+    return f"CAST(epoch_us({col}) AS BIGINT)"
+
+
 def bit_count(d: str, expr: str) -> str:
     return f"bit_count({expr})"
 

@@ -238,8 +238,9 @@ def retained_users_sql(d: str, table: str = "events") -> str:
     time range (INTERSECT)."""
     # midpoint in exact integer MICROSECONDS on both sides: Spark's
     # second-granular timestampadd vs DuckDB's exact interval division
-    # would disagree on events inside the sub-second boundary window
-    us = "unix_micros(CAST(ts AS TIMESTAMP))" if d == D.SPARK else "epoch_us(ts)"
+    # would disagree on events inside the sub-second boundary window;
+    # D.epoch_us is session-timezone-independent (NTZ wall-clock diff)
+    us = D.epoch_us(d, "ts")
     mid = f"(SELECT (min({us}) + max({us})) DIV 2 FROM events_src)" \
         if d == D.SPARK else f"(SELECT (min({us}) + max({us})) // 2 FROM events_src)"
     return f"""
@@ -280,7 +281,9 @@ def events_asof_join_sql(d: str, table: str = "events") -> str:
     is quadratic at 10^12 events. The DuckDB rendering uses the
     engine's NATIVE ``ASOF LEFT JOIN``, so the oracle is an
     independent implementation of the semantics, not a template mirror
-    (strict ``<`` on both sides keeps tie behavior identical)."""
+    (strict ``<`` on both sides keeps tie behavior identical).
+    Epoch extraction is session-timezone-independent (``D.epoch_us``,
+    round-4 advisor fix)."""
     if d == D.SPARK:
         return f"""
     SELECT event_id, user_id,
@@ -293,7 +296,7 @@ def events_asof_join_sql(d: str, table: str = "events") -> str:
                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS asof_view_us
         FROM (SELECT event_id, user_id, event_type,
-                     unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us
+                     {D.epoch_us(d, "ts")} AS ts_us
               FROM {table}) t0
     ) w
     WHERE event_type = 'click'
@@ -305,6 +308,67 @@ def events_asof_join_sql(d: str, table: str = "events") -> str:
     FROM (SELECT * FROM {table} WHERE event_type = 'click') c
     ASOF LEFT JOIN (SELECT * FROM {table} WHERE event_type = 'view') v
       ON c.user_id = v.user_id AND v.ts < c.ts
+    """.strip()
+
+
+def events_range_join_sql(d: str, table: str = "events") -> str:
+    """Range/interval join — the second canonical time-series shape
+    Spark lacks natively: each 'click' event matched to every
+    post-'purchase' attribution window ``[purchase_ts, purchase_ts +
+    30min]`` of the same user that CONTAINS it (inclusive bounds).
+
+    Scale shape (Spark): the BUCKETED-BY-TIME-BIN plan — intervals are
+    at most ``W`` (= the window length) long, so each spans ≤2 bins of
+    width ``W``; explode every interval to its covered bins (≤2×
+    row expansion), equi-join probes on ``(user_id, bin)``, then filter
+    exact containment. Each matching pair surfaces EXACTLY once (a
+    probe lives in one bin; an interval lists each bin once), so no
+    dedup stage is needed. NEVER the raw inequality join: Catalyst can
+    only plan ``t BETWEEN s AND e`` as a per-key nested loop whose
+    candidate set is quadratic at 10^12 events.
+
+    The DuckDB rendering is the PLAIN inequality join — DuckDB plans it
+    natively via its IEJoin/range-join machinery — so the oracle is an
+    independent implementation of the semantics, not a template mirror.
+    Epoch extraction is session-timezone-independent (``D.epoch_us``)."""
+    us = D.epoch_us(d, "ts")
+    window_us = 30 * 60 * 1_000_000  # 30-minute attribution window
+    if d == D.SPARK:
+        return f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, {us} AS ts_us FROM {table}
+    ),
+    windows AS (
+        SELECT event_id AS purchase_event_id, user_id,
+               ts_us AS start_us, ts_us + {window_us} AS end_us
+        FROM ev WHERE event_type = 'purchase'
+    ),
+    window_bins AS (
+        SELECT purchase_event_id, user_id, start_us, end_us,
+               explode(sequence(start_us DIV {window_us}, end_us DIV {window_us})) AS bin
+        FROM windows
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts_us, ts_us DIV {window_us} AS bin
+        FROM ev WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(c.ts_us AS BIGINT) AS click_us,
+           b.purchase_event_id,
+           CAST(b.start_us AS BIGINT) AS window_start_us
+    FROM clicks c
+    JOIN window_bins b ON c.user_id = b.user_id AND c.bin = b.bin
+    WHERE c.ts_us BETWEEN b.start_us AND b.end_us
+    """.strip()
+    return f"""
+    SELECT c.event_id, c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+           p.event_id AS purchase_event_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS window_start_us
+    FROM (SELECT * FROM {table} WHERE event_type = 'click') c
+    JOIN (SELECT * FROM {table} WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) AND epoch_us(p.ts) + {window_us}
     """.strip()
 
 
@@ -322,4 +386,5 @@ RELATIONAL_OPS = {
     "rel_retained_users": (retained_users_sql, ("events",)),
     "rel_events_pivot": (events_pivot_sql, ("events",)),
     "rel_events_asof_join": (events_asof_join_sql, ("events",)),
+    "rel_events_range_join": (events_range_join_sql, ("events",)),
 }

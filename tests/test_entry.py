@@ -39,6 +39,24 @@ def test_entry_smoke(spark):
     ]
 
 
+def test_epoch_us_session_timezone_independent(spark):
+    """Round-4 advisor: epoch extraction in the asof/range/retained
+    queries must not depend on spark.sql.session.timeZone — the driver's
+    session is not guaranteed to run UTC."""
+    from tesseract_glue_spark.functions import dialect as D
+
+    spark.read.parquet(f"{SF_ORACLE}/events.parquet").createOrReplaceTempView("events")
+    q = f"SELECT min({D.epoch_us(D.SPARK, 'ts')}) AS e FROM events"
+    baseline = spark.sql(q).collect()[0][0]
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+        shifted = spark.sql(q).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert baseline == shifted
+
+
 def test_queries_match_oracles(spark, duck):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
