@@ -190,6 +190,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_dedup_extracted"] = web_dedup_extracted_spark
     q["html_tables_extract"] = html_tables_extract_spark
+    # round-5 composed crawl stages: SemDeDup-style semantic near-dup
+    # over extracted content, two-level sitemapindex crawl seeding
+    from tesseract_glue_spark.operators.web import (
+        web_dedup_semantic_spark,
+        web_sitemap_discover_spark,
+    )
+
+    q["web_dedup_semantic"] = web_dedup_semantic_spark
+    q["web_sitemap_discover"] = web_sitemap_discover_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
     q["pdf_spans"] = pdf_spans_spark
     # composed flagship variant: interleaved web docs — text spans are
@@ -206,16 +215,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Entries whose code is untouched since their last green driver check —
 # safe to sit past the driver's 50-query cap for ONE round (they rotate
-# back in next round; nothing may go two rounds unverified).
+# back in next round; nothing may go two rounds unverified). Round-5
+# tail: 11 rel_* (green r04; NOT the three the epoch_us/range-join
+# commit touched) + the 7 pure-SQL dedup ops (dedup.py byte-identical
+# since r3, green r04). All 18 are dual-dialect SQL builders whose
+# rendered SQL is hash-pinned by tests/test_rotation_guard.py — any
+# edit to a tail operator fails CI until it is rotated back into the
+# verified window (round-4 advisor ask).
 _ROTATION_TAIL = (
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_sample_stratified",
-    "text_pack_sequences",
+    "rel_pricing_summary",
+    "rel_top_customers",
+    "rel_order_rank_window",
+    "rel_events_hourly",
+    "rel_nation_rollup",
+    "rel_user_sessions",
+    "rel_value_quantiles",
+    "rel_top_parts",
+    "rel_supplier_nations",
+    "rel_pricing_rollup",
+    "rel_events_pivot",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_minhash_survivors",
+)
+
+# Round-4's tail — all 15 missed the r04 driver check (green r03,
+# rendered SQL judge-verified byte-identical since) and are at the
+# one-round staleness limit: they MUST lead queries() this round.
+_ROTATION_LEAD = (
     "text_token_stats",
     "text_quality",
     "text_langid",
+    "text_fingerprint",
     "text_boilerplate_strip",
+    "text_pii_scrub",
+    "text_sample_stratified",
+    "text_pack_sequences",
     "emb_cosine_neardup",
     "emb_cosine_neardup_lsh",
     "emb_ann_topk_brute",
@@ -228,12 +267,11 @@ _ROTATION_TAIL = (
 
 def _verification_rotation(q: dict) -> dict:
     """The driver verifies the FIRST 50 entries of ``queries()``; with
-    61 registered, insertion order decides coverage. Round 3 appended
-    the new web surface ahead of ``rel_*`` and pushed all 12 relational
-    queries past the cap. Rotate: least-recently-verified families lead
-    (rel_* first this round), entries green-and-unchanged since r03
-    trail."""
-    lead = [n for n in q if n.startswith("rel_")]
+    68 registered, insertion order decides coverage. Least-recently-
+    verified entries lead (the 15 text_*/emb_* that sat out r04), new
+    and changed operators stay in the window, and only entries green
+    in r04 with hash-pinned unchanged SQL trail past the cap."""
+    lead = [n for n in _ROTATION_LEAD if n in q]
     tail = [n for n in _ROTATION_TAIL if n in q]
     mid = [n for n in q if n not in set(lead) | set(tail)]
     return {n: q[n] for n in (*lead, *mid, *tail)}
@@ -322,6 +360,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["web_dedup_extracted"] = web_dedup_extracted_oracle_sql()
     o["html_tables_extract"] = html_tables_extract_oracle_sql()
+    from tesseract_glue_spark.operators.web import (
+        web_dedup_semantic_oracle_sql,
+        web_sitemap_discover_oracle_sql,
+    )
+
+    o["web_dedup_semantic"] = web_dedup_semantic_oracle_sql()
+    o["web_sitemap_discover"] = web_sitemap_discover_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
     o["pdf_spans"] = pdf_spans_oracle_sql()
     o["extract_web_flat"] = extract_web_flat_oracle_sql()

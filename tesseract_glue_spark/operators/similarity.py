@@ -78,14 +78,14 @@ def _quant(d: str, col: str = "embedding") -> str:
     return f"list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
 
 
-def _dot(d: str, a: str, b: str) -> str:
+def _dot(d: str, a: str, b: str, dim: int = EMB_DIM) -> str:
     if d == D.SPARK:
         return (
             f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
             f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
     return (
-        f"CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> ({a})[i] * ({b})[i])) AS BIGINT)"
     )
 
@@ -158,11 +158,11 @@ def _plane_bucket_expr(d: str, planes: list[list[int]]) -> str:
     for p, plane in enumerate(planes):
         if d == D.SPARK:
             arr = "array(" + ", ".join(f"CAST({w} AS BIGINT)" for w in plane) + ")"
-            pd_ = _dot(d, "q", arr)
+            pd_ = _dot(d, "q", arr, dim=len(plane))
             terms.append(f"(CASE WHEN {pd_} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) ELSE 0 END)")
         else:
             arr = "[" + ", ".join(f"CAST({w} AS BIGINT)" for w in plane) + "]"
-            pd_ = _dot(d, "q", arr)
+            pd_ = _dot(d, "q", arr, dim=len(plane))
             terms.append(f"(CASE WHEN {pd_} >= 0 THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
@@ -566,6 +566,99 @@ def ann_topk_ivf(spark, sf_dir: str, table: str = "embeddings"):
         spark.catalog.dropTempView(qv_view)
         spark.catalog.dropTempView(cent_view)
         qv.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Semantic near-dup over TEXT (SemDeDup-style composition stage).
+# ---------------------------------------------------------------------------
+
+# Deterministic feature-hash "embedding" of a text column: tokens hash
+# to a (dimension, sign) pair, the vector is the signed count per
+# dimension (the hashing trick). It is a stand-in for a model embedding
+# — the Spark-side plumbing (vectorize → hyperplane LSH → banded
+# candidate join → exact verify) is exactly what a real SemDeDup stage
+# runs; swapping in model vectors changes only the vectorizer CTE.
+SEM_DIM = 32
+# Bucket count per table is 2^planes: planes must scale ~log2(n) so
+# per-bucket occupancy (and thus the candidate-join fan-out) stays
+# bounded as the corpus grows — 8 planes = 256 buckets is sized for the
+# test corpora (≤5k docs → ~20 docs/bucket); a 10^12-doc run raises
+# SEM_PLANES_N, not the join strategy. 4 planes (16 buckets) measured
+# near-all-pairs at 500 docs and is excluded by
+# test_semantic_candidates_bounded.
+SEM_PLANES_N = 8
+SEM_TABLES = 6            # candidate iff bucket-equal in ANY table
+SEM_TAU_X10K = 9000       # cosine ≥ 0.90 → same-content pair
+_sem_rng = random.Random(999)
+SEM_PLANE_TABLES: list[list[list[int]]] = [
+    [[_sem_rng.randrange(-QUANT, QUANT + 1) for _ in range(SEM_DIM)]
+     for _ in range(SEM_PLANES_N)]
+    for _ in range(SEM_TABLES)
+]
+
+
+def _sem_vec_ctes(d: str, src: str) -> str:
+    """CTEs: ``src`` (doc_id, text) → ``sem_qv`` (doc_id, q, n2) via the
+    hashing trick. Token hash = engine-equal 32-bit md5 prefix; low bit
+    is the sign, the rest picks the dimension. Map-only in both engines
+    (one md5 per token, integer lambda arithmetic per dimension)."""
+    toks = D.ws_tokens(d, "text")
+    h = D.str_hash64(d, "t")
+    if d == D.SPARK:
+        th = f"transform(filter({toks}, t -> t <> ''), t -> {h})"
+        vec = (
+            f"transform(sequence(0, {SEM_DIM - 1}), i -> "
+            f"aggregate(th, CAST(0 AS BIGINT), (acc, h) -> acc + "
+            f"(CASE WHEN (h DIV 2) % {SEM_DIM} = i THEN "
+            f"(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)))"
+        )
+    else:
+        th = f"list_transform(list_filter({toks}, t -> t <> ''), t -> {h})"
+        vec = (
+            f"list_transform(generate_series(0, {SEM_DIM - 1}), i -> "
+            f"CAST(coalesce(list_sum(list_transform(th, h -> "
+            f"CASE WHEN (h // 2) % {SEM_DIM} = i THEN "
+            f"CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END ELSE 0 END)), 0) AS BIGINT))"
+        )
+    return f"""
+    sem_th AS (SELECT doc_id, {th} AS th FROM {src}),
+    sem0 AS (SELECT doc_id, {vec} AS q FROM sem_th),
+    sem_qv AS (SELECT doc_id, q, {_dot(d, "q", "q", SEM_DIM)} AS n2 FROM sem0)
+    """.strip()
+
+
+def semantic_neardup_sql(d: str, src: str) -> str:
+    """Near-dup doc pairs by feature-hash cosine over ``src`` (doc_id,
+    text): multi-table hyperplane LSH candidates + exact integer verify
+    — same scale shape as :func:`cosine_neardup_lsh_sql` (candidates ∝
+    bucket collisions, never all-pairs; the only wide exchanges move
+    32-int vectors, not text)."""
+    bucket_union = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {t} AS table_no, "
+        f"{_plane_bucket_expr(d, planes)} AS bucket FROM sem_qv"
+        for t, planes in enumerate(SEM_PLANE_TABLES)
+    )
+    cos = _cos_x10k(d, _dot(d, "a.q", "b.q", SEM_DIM), "a.n2", "b.n2")
+    return f"""
+    WITH {_sem_vec_ctes(d, src)},
+    buckets AS (
+{bucket_union}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM buckets x JOIN buckets y
+          ON x.table_no = y.table_no AND x.bucket = y.bucket
+         AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, cos_x10k
+    FROM (
+        SELECT c.doc_a, c.doc_b, {cos} AS cos_x10k
+        FROM cand c
+        JOIN sem_qv a ON a.doc_id = c.doc_a
+        JOIN sem_qv b ON b.doc_id = c.doc_b
+    ) s
+    WHERE cos_x10k >= {SEM_TAU_X10K}
+    """.strip()
 
 
 SIMILARITY_OPS = {

@@ -674,16 +674,68 @@ def web_dedup_extracted_oracle_sql(table: str = "documents") -> str:
     return minhash_lsh_pairs_sql(D.DUCKDB, src)
 
 
+def web_dedup_semantic_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC near-dup over extracted content — the
+    modern dedup stage a training pipeline runs AFTER lexical MinHash
+    (:func:`web_dedup_extracted_spark`): HTML corpus → DOM main-content
+    strip (REAL kernel) → deterministic feature-hash embedding of the
+    stripped text → multi-table hyperplane LSH → exact integer cosine
+    verify (``similarity.semantic_neardup_sql``).
+
+    Scale shape: map-only strip, map-only vectorization (one md5 per
+    token, lambda arithmetic — no UDF); the wide exchanges are the LSH
+    band shuffle and the verify join, both moving 32-int vectors, never
+    page bytes or text. Candidates ∝ bucket collisions, never
+    all-pairs."""
+    from uuid import uuid4
+
+    from tesseract_glue_spark.operators.similarity import semantic_neardup_sql
+
+    stripped = html_main_content_spark(spark, sf_dir).select("doc_id", "main_text")
+    view = f"_web_stripped_{uuid4().hex[:12]}"
+    stripped.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            semantic_neardup_sql(
+                D.SPARK, f"(SELECT doc_id, main_text AS text FROM {view}) sem_txt"
+            )
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def web_dedup_semantic_oracle_sql(table: str = "documents") -> str:
+    """Same vectorize+LSH template over the corpus contract's expected
+    main content (closed-form strip)."""
+    from tesseract_glue_spark.operators.similarity import semantic_neardup_sql
+
+    src = (
+        f"(SELECT doc_id, {expected_main_text_expr(D.DUCKDB)} AS text "
+        f"FROM {table}) sem_txt"
+    )
+    return semantic_neardup_sql(D.DUCKDB, src)
+
+
 # ------------------------------------------------------ sitemap discovery
 
 # Discovery contract: one sitemap XML fragment per doc (url entry with
 # loc + lastmod + priority); every 7th doc's entry is commented out —
 # the parser must honor XML comments, not just regex-scrape <loc>.
-_SM_LOC_EXPR = "'https://example.org/doc/' || CAST(doc_id AS STRING)"
-_SM_LASTMOD_EXPR = (
-    "'2026-' || CASE WHEN doc_id % 12 < 9 THEN '0' ELSE '' END"
-    " || CAST(1 + doc_id % 12 AS STRING) || '-15'"
-)
+
+
+def _sm_loc(col: str = "doc_id") -> str:
+    return f"'https://example.org/doc/' || CAST({col} AS STRING)"
+
+
+def _sm_lastmod(col: str = "doc_id") -> str:
+    return (
+        f"'2026-' || CASE WHEN {col} % 12 < 9 THEN '0' ELSE '' END"
+        f" || CAST(1 + {col} % 12 AS STRING) || '-15'"
+    )
+
+
+_SM_LOC_EXPR = _sm_loc()
+_SM_LASTMOD_EXPR = _sm_lastmod()
 _SM_PRIORITY_EXPR = "CAST(CAST(1 + doc_id % 9 AS BIGINT) AS STRING)"  # x10 scale
 _SM_COMMENTED = "doc_id % 7 = 0"
 
@@ -780,6 +832,128 @@ def web_sitemap_parse_oracle_sql(table: str = "documents") -> str:
     SELECT doc_id, {_SM_LOC_EXPR} AS loc, {_SM_LASTMOD_EXPR} AS lastmod,
            CAST(1 + doc_id % 9 AS BIGINT) AS priority_x10
     FROM {table} WHERE NOT ({_SM_COMMENTED})
+    """.strip()
+
+
+# ------------------------------------------- recursive sitemap discovery
+
+# Two-level discovery contract (the shape real crawl seeding needs):
+# every 10th doc is a HOST publishing a <sitemapindex> that references
+# the urlset sitemaps of the next SM_IDX_FANOUT docs at
+# https://example.org/sitemap/<child>.xml; the middle reference is
+# commented out for every 20th host (comment-honoring must hold at the
+# INDEX level too). Discovery = parse index → resolve child sitemaps →
+# parse urlsets → page URLs attributed to their discovery root.
+SM_IDX_MOD = 10
+SM_IDX_FANOUT = 3
+SM_IDX_COMMENTED_MOD = 20  # host doc_id % 20 == 0 → the k=2 ref is commented
+
+SITEMAP_DISCOVER_SCHEMA = T.StructType(
+    [
+        T.StructField("index_doc_id", T.LongType()),
+        T.StructField("child_doc_id", T.LongType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("priority_x10", T.LongType()),
+    ]
+)
+
+
+def sitemap_index_corpus_sql(d: str, table: str = "documents") -> str:
+    """Synthetic <sitemapindex> XML per host doc (same text both
+    dialects, like :func:`sitemap_corpus_sql`)."""
+    entries = []
+    for k in range(1, SM_IDX_FANOUT + 1):
+        child_loc = (
+            f"'https://example.org/sitemap/' || CAST(doc_id + {k} AS STRING) || '.xml'"
+        )
+        e = f"'<sitemap><loc>' || {child_loc} || '</loc></sitemap>'"
+        if k == 2:
+            e = (
+                f"CASE WHEN doc_id % {SM_IDX_COMMENTED_MOD} = 0 "
+                f"THEN '<!-- ' || {e} || ' -->' ELSE {e} END"
+            )
+        entries.append(e)
+    body = " || ".join(entries)
+    return (
+        f"SELECT doc_id, '<?xml version=\"1.0\"?>"
+        f"<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">'"
+        f" || {body} || '</sitemapindex>' AS sitemap "
+        f"FROM {table} WHERE doc_id % {SM_IDX_MOD} = 0"
+    )
+
+
+def web_sitemap_discover_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level crawl seeding: <sitemapindex> parse (REAL namespace-
+    aware parser, ``kind='sitemap'`` entries) → child-loc resolution →
+    equi-join to the child urlset corpus → urlset parse. One page-URL
+    row per (discovery root, live url entry).
+
+    Scale shape: two map-only mapInPandas parse stages around a single
+    EQUI-join on the child sitemap key (at crawl scale both sides are
+    large → shuffle hash join; Catalyst broadcasts at test SF). Child
+    refs that resolve to no fetched sitemap drop out in the join —
+    exactly how a frontier treats dangling sitemap references."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    idx = spark.sql(sitemap_index_corpus_sql(D.SPARK))
+
+    def parse_idx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf["sitemap"]):
+                for e in parse_sitemap_xml(xml):
+                    if e["kind"] == "sitemap":
+                        rows.append((doc_id, e["loc"]))
+            yield pd.DataFrame(rows, columns=["index_doc_id", "child_loc"])
+
+    refs = _fan_out(idx).mapInPandas(
+        parse_idx, schema="index_doc_id BIGINT, child_loc STRING"
+    )
+    refs = refs.withColumn(
+        "child_doc_id",
+        F.regexp_extract("child_loc", r"sitemap/(\d+)\.xml$", 1).cast("long"),
+    )
+    children = spark.sql(sitemap_corpus_sql(D.SPARK)).select(
+        F.col("doc_id").alias("child_doc_id"), "sitemap"
+    )
+    joined = refs.join(children, "child_doc_id").select(
+        "index_doc_id", "child_doc_id", "sitemap"
+    )
+
+    def parse_child(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SITEMAP_DISCOVER_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for idx_id, child_id, xml in zip(
+                pdf["index_doc_id"], pdf["child_doc_id"], pdf["sitemap"]
+            ):
+                for e in parse_sitemap_xml(xml):
+                    if e["kind"] == "url":
+                        rows.append(
+                            (idx_id, child_id, e["loc"], e["lastmod"], e["priority_x10"])
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(parse_child, schema=SITEMAP_DISCOVER_SCHEMA)
+
+
+def web_sitemap_discover_oracle_sql(table: str = "documents") -> str:
+    """Closed form: hosts × k∈1..fanout equi-joined to existing child
+    docs, minus the commented index ref and the commented url entries."""
+    ks = ", ".join(f"({k})" for k in range(1, SM_IDX_FANOUT + 1))
+    return f"""
+    SELECT i.doc_id AS index_doc_id, c.doc_id AS child_doc_id,
+           {_sm_loc("c.doc_id")} AS loc,
+           {_sm_lastmod("c.doc_id")} AS lastmod,
+           CAST(1 + c.doc_id % 9 AS BIGINT) AS priority_x10
+    FROM {table} i
+    CROSS JOIN (VALUES {ks}) ks(k)
+    JOIN {table} c ON c.doc_id = i.doc_id + ks.k
+    WHERE i.doc_id % {SM_IDX_MOD} = 0
+      AND NOT (i.doc_id % {SM_IDX_COMMENTED_MOD} = 0 AND ks.k = 2)
+      AND NOT (c.doc_id % 7 = 0)
     """.strip()
 
 

@@ -305,7 +305,9 @@ class _TableSink:
     ``<td>`` or ``<tr>`` closes the open one), stray text between rows
     (dropped — it belongs to no cell), and nested tables (data inside
     the inner table attributes to the INNER table's cells; the outer
-    cell keeps only its own text)."""
+    cell is SUSPENDED while the inner table is open and resumes when it
+    closes, so ``<td>a<table>…</table>b</td>`` keeps BOTH 'a' and 'b'
+    — round-4 advisor finding: the old close-on-nest dropped 'b')."""
 
     def __init__(self) -> None:
         self.cells: list[TableCell] = []
@@ -328,7 +330,10 @@ class _TableSink:
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "table":
-            self._close_cell()  # nested table: outer cell text stops here
+            # nested table: the enclosing cell (if any) stays open on its
+            # own stack frame — handle_data targets the top frame, so text
+            # inside the inner table can't leak out, and text AFTER the
+            # inner table closes resumes buffering into the outer cell
             self._stack.append(
                 {"no": self._n_tables, "row": -1, "col": -1, "cell": None,
                  "header": False, "buf": []}
@@ -359,6 +364,9 @@ class _TableSink:
         elif tag == "table" and self._stack:
             self._close_cell()
             self._stack.pop()
+            t = self._top()
+            if t is not None and t["cell"] is not None:
+                t["buf"].append(" ")  # word boundary across the nested table
 
     def handle_data(self, data: str) -> None:
         t = self._top()

@@ -146,13 +146,23 @@ class TestHtmlBlocks:
         ]
         # nested table: inner cells are their own table; stray text
         # between rows belongs to no cell; outside text never leaks in
+        # (inner cells emit first — the suspended outer cell closes later)
         cells = extract_tables(
             "<p>outside</p><table><tr>stray<td>x"
             "<table><tr><td>inner</td></tr></table></td></tr></table>"
         )
         assert [(c.table_no, c.row_no, c.col_no, c.text) for c in cells] == [
-            (0, 0, 0, "x"),
             (1, 0, 0, "inner"),
+            (0, 0, 0, "x"),
+        ]
+        # round-4 advisor case: outer-cell text AFTER the nested table
+        # closes is kept (suspend/resume), with a word boundary between
+        cells = extract_tables(
+            "<table><tr><td>a<table><tr><td>i</td></tr></table>b</td></tr></table>"
+        )
+        assert [(c.table_no, c.row_no, c.col_no, c.text) for c in cells] == [
+            (1, 0, 0, "i"),
+            (0, 0, 0, "a b"),
         ]
         # unclosed table at EOF still flushes its open cell
         cells = extract_tables("<table><tr><td>tail")
@@ -663,6 +673,85 @@ class TestWebSpark:
         got = web_dedup_extracted_spark(spark, SF_DIR).toPandas()
         exp = self._oracle(web_dedup_extracted_oracle_sql())
         assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_web_dedup_semantic_matches_oracle(self, spark):
+        """SemDeDup-style stage: DOM strip (real kernel) → feature-hash
+        embedding → hyperplane-LSH candidates → exact integer cosine
+        verify; oracle = same template over the strip contract's
+        closed form."""
+        from tesseract_glue_spark.operators.web import (
+            web_dedup_semantic_oracle_sql,
+            web_dedup_semantic_spark,
+        )
+
+        got = web_dedup_semantic_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(web_dedup_semantic_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+
+    def test_semantic_candidates_bounded(self):
+        """The LSH candidate set must stay well below all-pairs — the
+        structural scale guarantee is the bucket equi-join (candidates
+        ∝ collisions). 4 planes/16 buckets measured near-all-pairs at
+        this corpus size and is excluded; also pins the join shape: no
+        cross join in the rendered SQL."""
+        from tesseract_glue_spark.functions import dialect as D
+        from tesseract_glue_spark.operators import similarity as S
+        from tesseract_glue_spark.operators.web import expected_main_text_expr
+
+        assert S.SEM_PLANES_N >= 8
+        sql = S.semantic_neardup_sql(
+            D.SPARK, "(SELECT doc_id, text FROM documents) sem_txt"
+        )
+        assert "CROSS JOIN" not in sql.upper()
+        assert "x.table_no = y.table_no AND x.bucket = y.bucket" in sql
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        src = (
+            f"(SELECT doc_id, {expected_main_text_expr(D.DUCKDB)} AS text "
+            f"FROM documents) sem_txt"
+        )
+        bucket_union = " UNION ALL ".join(
+            f"SELECT doc_id, {t} AS table_no, "
+            f"{S._plane_bucket_expr(D.DUCKDB, planes)} AS bucket FROM sem_qv"
+            for t, planes in enumerate(S.SEM_PLANE_TABLES)
+        )
+        n_cand = con.execute(
+            f"WITH {S._sem_vec_ctes(D.DUCKDB, src)}, buckets AS ({bucket_union}) "
+            f"SELECT COUNT(*) FROM (SELECT DISTINCT x.doc_id, y.doc_id "
+            f"FROM buckets x JOIN buckets y ON x.table_no = y.table_no "
+            f"AND x.bucket = y.bucket AND x.doc_id < y.doc_id)"
+        ).fetchone()[0]
+        n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+        assert n_cand < 0.5 * n_docs * (n_docs - 1) / 2
+
+    def test_web_sitemap_discover_matches_oracle(self, spark):
+        """Two-level discovery: sitemapindex parse → child resolution →
+        urlset parse; oracle = closed-form hosts×fanout equi-join. The
+        commented index reference (host % 20 == 0, k=2) must be honored
+        at the INDEX level, and commented url entries at the leaf
+        level."""
+        from tesseract_glue_spark.operators.web import (
+            SM_IDX_COMMENTED_MOD,
+            SM_IDX_MOD,
+            web_sitemap_discover_oracle_sql,
+            web_sitemap_discover_spark,
+        )
+
+        got = web_sitemap_discover_spark(spark, SF_DIR).toPandas()
+        exp = self._oracle(web_sitemap_discover_oracle_sql())
+        assert canonical_csv(got) == canonical_csv(exp)
+        # index-level comment honoring: commented hosts reference child
+        # host+2 only inside a comment → that child must be absent
+        commented_hosts = got[got.index_doc_id % SM_IDX_COMMENTED_MOD == 0]
+        assert len(commented_hosts) > 0
+        assert not (
+            commented_hosts.child_doc_id == commented_hosts.index_doc_id + 2
+        ).any()
+        live_hosts = got[got.index_doc_id % SM_IDX_COMMENTED_MOD != 0]
+        assert (live_hosts.child_doc_id == live_hosts.index_doc_id + 2).any()
+        assert (got.index_doc_id % SM_IDX_MOD == 0).all()
 
     def test_web_frontier_dedup_collapses_variants(self, spark):
         """Frontier dedup: canonicalization must COLLAPSE the colliding
