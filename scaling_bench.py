@@ -24,7 +24,11 @@ import tempfile
 WORKER = r"""
 import sys, time, json
 sys.path.insert(0, {repo!r})
-from bench import build_spark
+from bench import build_spark, idle_gate, _steal_total, _steal_pct
+# bounded idle gate per side: both halves of a pair should sample
+# comparable windows (the 4N side is the one hypervisor steal hits —
+# BENCH.md header: one-sided slowdowns up to 1.9x)
+gate = idle_gate()
 spark = build_spark({cpus})
 spark.sparkContext.setLogLevel("ERROR")
 from tesseract_glue_spark import ExtractionConfig, extract_documents
@@ -40,15 +44,18 @@ cfg = ExtractionConfig()
 # full-size timed run still carried ~10 s of JIT at local[16],
 # observed as a bimodal 24 s / 40 s wall.)
 extract_documents(docs, pages, cfg).count()
-best = None
+samples = []
 for _ in range(2):
+    s0 = _steal_total()
     t0 = time.perf_counter()
     n = extract_documents(docs, pages, cfg).count()
     dt = time.perf_counter() - t0
-    best = dt if best is None else min(best, dt)
+    samples.append({{"wall": round(dt, 3), "steal_pct": _steal_pct(s0, _steal_total())}})
+best = min(s["wall"] for s in samples)
 load = open("/proc/loadavg").read().split()[0]
-print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_sec": round(best, 3),
-      "docs": n, "docs_per_sec": round(n / best, 1), "load_1m_after": float(load)}}))
+print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_sec": best,
+      "docs": n, "docs_per_sec": round(n / best, 1), "load_1m_after": float(load),
+      "samples": samples, **gate}}))
 spark.stop()
 """
 
@@ -89,6 +96,14 @@ def main() -> None:
         action="store_true",
         help="web-mode pipeline (HTML text spans DOM-stripped + media OCR'd)",
     )
+    ap.add_argument(
+        "--pairs",
+        type=int,
+        default=1,
+        help="number of (N, 4N) pairs to run; the headline is the MEDIAN "
+        "pair efficiency (single pairs are hostage to one-sided "
+        "hypervisor steal on the 4N half)",
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -105,35 +120,54 @@ def main() -> None:
             check=True, timeout=3000, capture_output=True, text=True,
         )
 
-    results = {}
-    for cpus in (args.n, args.n * 4):
-        results[cpus] = run_worker(
-            WORKER.format(repo=repo, cpus=cpus, corpus_dir=corpus_dir, web=args.web)
+    pairs = []
+    for _ in range(max(args.pairs, 1)):
+        pair = {}
+        for cpus in (args.n, args.n * 4):
+            pair[cpus] = run_worker(
+                WORKER.format(repo=repo, cpus=cpus, corpus_dir=corpus_dir, web=args.web)
+            )
+        small, big = pair[args.n], pair[args.n * 4]
+        pairs.append(
+            {
+                "efficiency": round(
+                    big["docs_per_sec"] / (4.0 * small["docs_per_sec"]), 3
+                ),
+                "n": small,
+                "n4": big,
+            }
         )
 
-    small, big = results[args.n], results[args.n * 4]
-    eff = round(big["docs_per_sec"] / (4.0 * small["docs_per_sec"]), 3)
+    effs = sorted(p["efficiency"] for p in pairs)
+    median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
     out = {
         "metric": "scaling_efficiency_N_to_4N"
         + ("_web" if args.web else ""),
-        "value": eff,
+        "value": median,
         "unit": "ratio",
+        "aggregation": f"median_of_{len(pairs)}_pairs",
+        "best": effs[-1],
         "n_cpus": args.n,
         "n4_cpus": args.n * 4,
         "docs": args.docs,
         "pages_per_doc": args.pages,
-        "throughput_at_n": small["docs_per_sec"],
-        "throughput_at_4n": big["docs_per_sec"],
-        "wall_at_n": small["wall_sec"],
-        "wall_at_4n": big["wall_sec"],
+        "pairs": pairs,
     }
     print(json.dumps(out))
     if args.md:
         with open(os.path.join(repo, "BENCH.md"), "a") as fh:
+            for p in pairs:
+                small, big = p["n"], p["n4"]
+                fh.write(
+                    f"\n| local[{args.n}] → local[{args.n*4}] | {args.docs} docs × "
+                    f"{args.pages} pages | {small['docs_per_sec']} docs/s @ N | "
+                    f"{big['docs_per_sec']} docs/s @ 4N | **{p['efficiency']}** |"
+                )
             fh.write(
-                f"\n| local[{args.n}] → local[{args.n*4}] | {args.docs} docs × "
-                f"{args.pages} pages | {small['docs_per_sec']} docs/s @ N | "
-                f"{big['docs_per_sec']} docs/s @ 4N | **{eff}** |\n"
+                f"\n\nMedian of {len(pairs)} pairs: **{median}** (best {effs[-1]}); "
+                f"every side carries its own load/steal metadata in the JSON.\n"
             )
 
 

@@ -30,7 +30,10 @@ class ExtractionConfig:
     # scale knobs
     ocr_partitions: int | None = None     # repartition before mapInPandas; None → leave to AQE
     broadcast_ocr_results: bool | None = None  # None → let Catalyst/AQE decide
-    salt_reassembly: int = 0          # >0 → two-phase salted doc reassembly
+    # >1 → two-phase range-chunked doc reassembly (chunk = offset DIV
+    # max(value, 1024) spans): hot many-page docs split across reducers,
+    # pre-sorted chunks concatenated in order (no serial re-sort)
+    salt_reassembly: int = 0
     arrow_batch_rows: int = 256       # cap Arrow batch size for pixel payloads
     # The pages store contract is one row per media_ref. If an upstream
     # resolver can emit duplicates, enable this guard — it costs a full

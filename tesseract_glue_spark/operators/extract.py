@@ -28,10 +28,12 @@ Scale design notes (the part that must survive 1000 executors / 100 TB):
   ``sort_array`` / ``array_sort`` inside the aggregation (SURVEY §7
   hard-point (a)).
 * **Skew**: many-page documents (heavy tail) are handled by optional
-  two-phase salted reassembly (partial collect per (doc_id, salt),
-  then flatten+sort) — `salt_reassembly=S`. The final sort key is the
-  span offset, so salting composes with order preservation (SURVEY §7
-  hard-point (b)).
+  two-phase RANGE-CHUNKED reassembly (partial collect+sort per
+  (doc_id, offset DIV block), then an O(n) ordered concat of the
+  pre-sorted chunks) — `salt_reassembly=S`. The chunk key preserves
+  contiguous offset ranges, so order preservation needs no second
+  sort (SURVEY §7 hard-point (b); skew_bench.py for the measured
+  comparison against modulo salting, which re-sorted serially).
 * **Degrade, don't die**: dangling refs / undecodable pages become
   status values, never task failures (``reader2.cpp:19-23``,
   ``ImageLoaderStrategies.cpp:14-16``).
@@ -79,9 +81,17 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     output — at 10^12 docs, resume/lineage accounting requires every
     input doc to survive the pipeline."""
     return (
-        docs.select("doc_id", F.posexplode_outer("spans").alias("pos", "s"))
+        docs.select(
+            "doc_id",
+            # carried doc size: free (projection of the source array),
+            # lets reassemble() route heavy-tail docs to the chunked
+            # two-phase plan without a counting shuffle
+            F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
+            F.posexplode_outer("spans").alias("pos", "s"),
+        )
         .select(
             "doc_id",
+            "n_spans",
             F.col("s.offset").alias("offset"),
             F.col("s.kind").alias("kind"),
             F.col("s.text").alias("text"),
@@ -245,7 +255,10 @@ def ocr_partition_metrics(ocr: DataFrame) -> DataFrame:
 
 
 def stitch(spans: DataFrame, ocr: DataFrame, config: ExtractionConfig) -> DataFrame:
-    """Attach OCR text to media spans; pass text spans through."""
+    """Attach OCR text to media spans; pass text spans through. The
+    carried ``n_spans`` doc size (when the span frame has it) flows
+    through so reassembly can route heavy-tail docs."""
+    carry = ["n_spans"] if "n_spans" in spans.columns else []
     media = spans.where(F.col("kind") == "media")
     # null-kind rows are empty-doc placeholders from posexplode_outer —
     # keep them so the doc survives reassembly, drop them from the array
@@ -257,6 +270,7 @@ def stitch(spans: DataFrame, ocr: DataFrame, config: ExtractionConfig) -> DataFr
         ocr_small = F.broadcast(ocr_small)
     stitched_media = media.join(ocr_small, "media_ref", "left").select(
         "doc_id",
+        *carry,
         "offset",
         "kind",
         F.coalesce("ocr_text", F.lit("")).alias("text"),
@@ -264,7 +278,7 @@ def stitch(spans: DataFrame, ocr: DataFrame, config: ExtractionConfig) -> DataFr
         F.coalesce("ocr_status", F.lit(errors.STATUS_DANGLING)).alias("ocr_status"),
     )
     return text_spans.select(
-        "doc_id", "offset", "kind", "text", "media_ref", "ocr_status"
+        "doc_id", *carry, "offset", "kind", "text", "media_ref", "ocr_status"
     ).unionByName(stitched_media)
 
 
@@ -310,31 +324,65 @@ def reassemble(stitched: DataFrame, config: ExtractionConfig) -> DataFrame:
     Never relies on shuffle order: the sort key is the carried
     ``offset``, applied *inside* the aggregation via ``sort_array`` on
     offset-first structs. With ``salt_reassembly=S`` the collect runs in
-    two phases so a single hot doc_id cannot overload one reducer:
-    phase 1 groups on (doc_id, offset % S), phase 2 flattens and sorts.
+    two phases so a single hot doc_id cannot overload one reducer.
+
+    The salt is a RANGE CHUNK, not a modulo: phase 1 groups on
+    (doc_id, offset DIV B) with chunk size ``B = max(S, 1024)`` spans,
+    so each chunk covers a contiguous offset range and is sorted in
+    parallel; phase 2 concatenates the pre-sorted chunks in chunk
+    order — an O(n) serial merge. The earlier modulo salt
+    (offset % S) interleaved ranges across salts, forcing phase 2 to
+    re-sort the ENTIRE hot document serially (array_sort after
+    flatten) — measured SLOWER than unsalted at every corpus shape
+    (skew_bench.py, r5): it paid the same serial O(n log n) plus a
+    second shuffle.
+
+    When the frame carries the doc size (``n_spans``, free from
+    ``size(spans)`` at explode time — no counting shuffle), documents
+    that fit one chunk take the SINGLE-PHASE plan and only heavy-tail
+    docs pay the two-phase gather: the uniform-corpus penalty of
+    unconditional two-phase measured 26% (skew_bench.py) and is
+    eliminated by the routing. Both branches read the same stitched
+    subtree; its exchanges are planned once and reused (ReusedExchange
+    / AQE stage reuse), so the OCR stage never re-executes.
     """
     ordered_struct = F.struct("offset", "kind", "text", "media_ref")
-    if config.salt_reassembly and config.salt_reassembly > 1:
-        s = int(config.salt_reassembly)
+
+    def single_phase(side: DataFrame) -> DataFrame:
+        return side.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(ordered_struct)).alias("_sorted"),
+            *_metric_aggs(),
+        )
+
+    def two_phase(side: DataFrame, block: int) -> DataFrame:
         partial = (
-            stitched.withColumn("_salt", F.pmod(F.col("offset"), F.lit(s)))
+            side.withColumn("_salt", F.expr(f"offset DIV {block}"))
             .groupBy("doc_id", "_salt")
             .agg(
                 F.sort_array(F.collect_list(ordered_struct)).alias("_part"),
                 *_metric_aggs(),
             )
         )
-        doc = partial.groupBy("doc_id").agg(
-            F.array_sort(F.flatten(F.collect_list("_part"))).alias("_sorted"),
+        return partial.groupBy("doc_id").agg(
+            F.expr(
+                "flatten(transform(sort_array(collect_list(struct(_salt, _part))), "
+                "x -> x._part))"
+            ).alias("_sorted"),
             F.sum("ocr_pages").cast("int").alias("ocr_pages"),
             F.sum("ocr_empty_pages").cast("int").alias("ocr_empty_pages"),
             F.max("_any_err").alias("_any_err"),
         )
+
+    if config.salt_reassembly and config.salt_reassembly > 1:
+        block = max(int(config.salt_reassembly), 1024)
+        if "n_spans" in stitched.columns:
+            small = stitched.where(F.col("n_spans") <= block)
+            big = stitched.where(F.col("n_spans") > block)
+            doc = single_phase(small).unionByName(two_phase(big, block))
+        else:
+            doc = two_phase(stitched, block)
     else:
-        doc = stitched.groupBy("doc_id").agg(
-            F.sort_array(F.collect_list(ordered_struct)).alias("_sorted"),
-            *_metric_aggs(),
-        )
+        doc = single_phase(stitched)
     return doc.select(
         "doc_id",
         F.expr(_SPAN_STRUCT_EXPR.format(src="_sorted")).alias("spans"),

@@ -257,6 +257,45 @@ class TestRobustness:
         b = {r["doc_id"]: spans_key(r["spans"]) for r in guarded.collect()}
         assert a == b
 
+    def test_salted_routing_mixed_corpus(self, spark, pages):
+        """Heavy-tail routing: a corpus mixing one multi-chunk hot doc
+        (> block spans) with normal docs must send each doc down its
+        branch (single-phase vs chunked two-phase) and produce output
+        identical to the unsalted plan — no doc lost, duplicated, or
+        reordered across the union."""
+        from tesseract_glue_spark.fixtures import DOCUMENTS_SCHEMA
+        from tesseract_glue_spark.imaging.render import num_to_ref
+
+        hot = [("text", f"t{o}", "", o) if o % 2 else
+               ("media", "", num_to_ref((o * 7) % 6000), o) for o in range(2500)]
+        small = [[("text", f"d{d}s{o}", "", o) for o in range(5)] for d in range(20)]
+        docs = spark.createDataFrame(
+            [(888000, hot)] + [(888001 + d, s) for d, s in enumerate(small)],
+            schema=DOCUMENTS_SCHEMA,
+        )
+        base = extract.extract_documents(docs, pages, ExtractionConfig()).collect()
+        salted = extract.extract_documents(
+            docs, pages, ExtractionConfig(salt_reassembly=16)
+        ).collect()
+        a = {r["doc_id"]: spans_key(r["spans"]) for r in base}
+        b = {r["doc_id"]: spans_key(r["spans"]) for r in salted}
+        assert a == b and len(b) == 21
+
+    def test_salted_fallback_without_doc_size(self, spark):
+        """A stitched-shaped frame lacking the carried ``n_spans``
+        column (external callers) must still reassemble correctly via
+        the unconditional two-phase fallback."""
+        rows = [(1, o, "text", f"x{o}", "", None) for o in range(1500)]
+        stitched = spark.createDataFrame(
+            rows, "doc_id LONG, offset INT, kind STRING, text STRING, "
+                  "media_ref STRING, ocr_status STRING",
+        )
+        out = extract.reassemble(
+            stitched, ExtractionConfig(salt_reassembly=16).validated()
+        ).collect()
+        assert len(out) == 1
+        assert [s["offset"] for s in out[0]["spans"]] == list(range(1500))
+
     def test_extreme_skew_doc(self, spark, pages):
         """One document with thousands of spans (the 10^12-scale hot-key
         shape): salted reassembly must still reconstruct exact order."""
