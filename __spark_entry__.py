@@ -217,11 +217,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # safe to sit past the driver's 50-query cap for ONE round (they rotate
 # back in next round; nothing may go two rounds unverified). Round-5
 # tail: 11 rel_* (green r04; NOT the three the epoch_us/range-join
-# commit touched) + the 7 pure-SQL dedup ops (dedup.py byte-identical
-# since r3, green r04). All 18 are dual-dialect SQL builders whose
-# rendered SQL is hash-pinned by tests/test_rotation_guard.py — any
-# edit to a tail operator fails CI until it is rotated back into the
-# verified window (round-4 advisor ask).
+# commit touched) + the 7 pure-SQL dedup ops green r04 (dedup.py's
+# round-5 diff only ADDS dedup_incremental — the seven tail builders'
+# rendered SQL is pin-checked unchanged) + web_url_normalize /
+# web_frontier_dedup (green r04, rendered SQL verified byte-identical
+# to the r04 commit, making room for the two NEW round-5 queries
+# text_dup_spans / dedup_incremental inside the verified window). All
+# 20 are dual-dialect SQL builders whose rendered SQL is hash-pinned
+# by tests/test_rotation_guard.py — any edit to a tail operator fails
+# CI until it is rotated back into the verified window (round-4
+# advisor ask).
 _ROTATION_TAIL = (
     "rel_pricing_summary",
     "rel_top_customers",
@@ -241,6 +246,8 @@ _ROTATION_TAIL = (
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_minhash_survivors",
+    "web_url_normalize",
+    "web_frontier_dedup",
 )
 
 # Round-4's tail — all 15 missed the r04 driver check (green r03,

@@ -284,6 +284,78 @@ def pack_sequences_sql(
     """.strip()
 
 
+DUP_SPAN_W = 8  # words per duplication window
+
+
+def dup_spans_sql(d: str, table: str = "documents") -> str:
+    """Exact substring-duplication spans — the span-level output a
+    dedup pipeline needs to CUT repeated passages instead of dropping
+    whole documents (the "exact substring dedup" stage of modern
+    training-data pipelines, re-expressed relationally).
+
+    Plan: normalized word {DUP_SPAN_W}-gram windows are hashed
+    (codegen'd explode-index projection, same formulation as
+    ``fingerprint_sql`` — higher-order-function lambdas never codegen);
+    a window is *duplicated* when its hash occurs in ≥ 2 distinct docs;
+    each doc's duplicated window starts are merged into maximal spans
+    with a gaps-and-islands pass (LAG + running SUM — two windows
+    overlap iff their starts differ by ≤ {DUP_SPAN_W}). Output spans
+    are 1-based inclusive word ranges.
+
+    Scale shape: one shuffle keyed by window hash (the HAVING group),
+    one hash semi-join back on the same key (exchange reused / AQE),
+    one shuffle keyed by doc_id for the island window — never
+    all-pairs; candidates ∝ hash collisions exactly like the
+    inverted-index dedup family (operators/dedup.py).
+    """
+    W = DUP_SPAN_W
+    norm = _norm(d)
+    w = D.ws_tokens(d, "norm")
+    nw = D.array_len(d, "w")
+    if d == D.SPARK:
+        parts = ", ".join(f"element_at(w, i + {k + 1})" for k in range(W))
+        lateral = f"LATERAL VIEW explode(sequence(0, greatest(nw - {W}, 0))) _t AS i"
+    else:
+        parts = ", ".join(f"w[i + {k + 1}]" for k in range(W))
+        lateral = f", unnest(generate_series(0, greatest(nw - {W}, 0))) AS _t(i)"
+    h = D.md5_hex(d, f"concat_ws(' ', {parts})")
+    over = "PARTITION BY doc_id ORDER BY i"
+    run = f"{over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, norm, {w} AS w, {nw} AS nw
+        FROM (SELECT doc_id, {norm} AS norm FROM {table}) n0
+    ),
+    win AS (
+        SELECT doc_id, i, {h} AS h
+        FROM tok {lateral}
+        WHERE nw >= {W} AND i <= nw - {W}
+    ),
+    duph AS (
+        SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dwin AS (
+        SELECT w.doc_id, w.i FROM win w JOIN duph USING (h)
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER ({over}) <= {W} THEN 0 ELSE 1 END AS brk
+        FROM dwin
+    ),
+    grp AS (
+        SELECT doc_id, i, SUM(brk) OVER ({run}) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(island AS BIGINT) AS island,
+           CAST(MIN(i) + 1 AS BIGINT) AS span_start_word,
+           CAST(MAX(i) + {W} AS BIGINT) AS span_end_word,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+    FROM grp
+    GROUP BY doc_id, island
+    """.strip()
+
+
 TEXT_OPS = {
     "text_token_stats": token_stats_sql,
     "text_quality": quality_sql,
@@ -293,4 +365,5 @@ TEXT_OPS = {
     "text_pii_scrub": pii_scrub_sql,
     "text_sample_stratified": sample_stratified_sql,
     "text_pack_sequences": pack_sequences_sql,
+    "text_dup_spans": dup_spans_sql,
 }
