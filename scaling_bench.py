@@ -45,12 +45,25 @@ cfg = ExtractionConfig()
 # observed as a bimodal 24 s / 40 s wall.)
 extract_documents(docs, pages, cfg).count()
 samples = []
-for _ in range(2):
+def one_sample():
     s0 = _steal_total()
     t0 = time.perf_counter()
     n = extract_documents(docs, pages, cfg).count()
     dt = time.perf_counter() - t0
     samples.append({{"wall": round(dt, 3), "steal_pct": _steal_pct(s0, _steal_total())}})
+    return n
+for _ in range(2):
+    n = one_sample()
+# steal defense (same shape as bench.py's flagship retry): if EVERY
+# sample of this side was steal-contaminated, sleep and take bounded
+# extra samples — steal is one-sided noise, so the best clean sample is
+# the honest wall; a side where all samples stayed dirty is self-
+# labeling in the JSON
+for _ in range(2):
+    if min(s["steal_pct"] for s in samples) <= 2.0:
+        break
+    time.sleep(30)
+    n = one_sample()
 best = min(s["wall"] for s in samples)
 load = open("/proc/loadavg").read().split()[0]
 print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_sec": best,
