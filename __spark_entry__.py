@@ -250,6 +250,33 @@ _ROTATION_TAIL = (
     "web_frontier_dedup",
 )
 
+# Second tail class: NON-SQL (DataFrame-function) entries allowed past
+# the cap for one round. Same staleness rule, different pin: since
+# there is no rendered Spark SQL to hash, each entry pins its rendered
+# DuckDB oracle PLUS the source bytes of every module in its declared
+# dependency closure (tests/test_rotation_guard.py) — any edit to any
+# closure module fails CI until the entry rotates back into the
+# verified window. All three were driver-green in r04
+# (CORRECTNESS_r04.json) and their closures are untouched this round
+# (pages_meta / multimodal / imaging / truth / fixtures have no
+# round-5 diff); pages_metadata, audio_features_fake and
+# video_frames_fake stay IN the window as live representatives of the
+# same kernels.
+_ROTATION_TAIL_FN: dict[str, tuple[str, ...]] = {
+    name: (
+        "tesseract_glue_spark/operators/pages_meta.py",
+        "tesseract_glue_spark/operators/multimodal.py",
+        "tesseract_glue_spark/imaging/kernels.py",
+        "tesseract_glue_spark/imaging/codecs.py",
+        "tesseract_glue_spark/imaging/png.py",
+        "tesseract_glue_spark/imaging/jp2.py",
+        "tesseract_glue_spark/functions/truth.py",
+        "tesseract_glue_spark/fixtures.py",
+        "tesseract_glue_spark/sources/shipping.py",
+    )
+    for name in ("image_resize_dims", "image_pixel_stats", "image_features_blank")
+}
+
 # Round-4's tail — all 15 missed the r04 driver check (green r03,
 # rendered SQL judge-verified byte-identical since) and are at the
 # one-round staleness limit: they MUST lead queries() this round.
@@ -274,12 +301,14 @@ _ROTATION_LEAD = (
 
 def _verification_rotation(q: dict) -> dict:
     """The driver verifies the FIRST 50 entries of ``queries()``; with
-    68 registered, insertion order decides coverage. Least-recently-
+    73 registered, insertion order decides coverage. Least-recently-
     verified entries lead (the 15 text_*/emb_* that sat out r04), new
     and changed operators stay in the window, and only entries green
-    in r04 with hash-pinned unchanged SQL trail past the cap."""
+    in r04 with hash-pinned unchanged SQL (or, for the three
+    DataFrame-function entries, a pinned oracle + module-source
+    closure) trail past the cap."""
     lead = [n for n in _ROTATION_LEAD if n in q]
-    tail = [n for n in _ROTATION_TAIL if n in q]
+    tail = [n for n in (*_ROTATION_TAIL, *_ROTATION_TAIL_FN) if n in q]
     mid = [n for n in q if n not in set(lead) | set(tail)]
     return {n: q[n] for n in (*lead, *mid, *tail)}
 

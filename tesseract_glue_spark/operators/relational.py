@@ -372,6 +372,54 @@ def events_range_join_sql(d: str, table: str = "events") -> str:
     """.strip()
 
 
+def events_funnel_sql(d: str, table: str = "events") -> str:
+    """Ordered-sequence funnel (view → click → purchase): for every user
+    who viewed, the earliest click STRICTLY AFTER the first view and the
+    earliest purchase STRICTLY AFTER that click, plus the funnel stage
+    reached — the conversion-attribution query every event pipeline runs.
+
+    Scale shape: three stage aggregates, each a groupBy(user_id) with
+    map-side partial aggregation, chained by EQUI-joins on the same
+    ``user_id`` key — one shuffle key throughout, so AQE reuses the
+    exchange across stages and no stage is an inequality join (the
+    ``ts >`` predicates are plain filters against the previous stage's
+    one-row-per-user aggregate, never a range-join candidate set).
+    Missing stages surface as ``-1`` (NULL-free output keeps the
+    cross-engine value-hash exact).
+    """
+    v_us = D.epoch_us(d, "v.t_view")
+    c_us = D.epoch_us(d, "c.t_click")
+    p_us = D.epoch_us(d, "p.t_purchase")
+    return f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM {table} WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM {table} e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM {table} e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST({v_us} AS BIGINT) AS view_us,
+           CAST(COALESCE({c_us}, -1) AS BIGINT) AS click_us,
+           CAST(COALESCE({p_us}, -1) AS BIGINT) AS purchase_us,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS funnel_stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """.strip()
+
+
 RELATIONAL_OPS = {
     "rel_pricing_summary": (pricing_summary_sql, ("lineitem",)),
     "rel_top_customers": (top_customers_sql, ("orders", "customer")),
@@ -387,4 +435,5 @@ RELATIONAL_OPS = {
     "rel_events_pivot": (events_pivot_sql, ("events",)),
     "rel_events_asof_join": (events_asof_join_sql, ("events",)),
     "rel_events_range_join": (events_range_join_sql, ("events",)),
+    "rel_events_funnel": (events_funnel_sql, ("events",)),
 }

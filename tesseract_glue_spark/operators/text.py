@@ -356,6 +356,91 @@ def dup_spans_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
+# Gopher-inspired repetition thresholds (scaled x10k): flag a document
+# when its most frequent word 2-gram covers > 18% of all 2-grams, or
+# > 30% of its word 3-grams are repeats (Rae et al. 2021 use 0.18 /
+# 0.30 char-fraction analogues; here fractions are over gram counts —
+# the corpus stand-in has no line structure, so the line-dedup rules
+# don't apply).
+REP_TOP_BIGRAM_X10K = 1800
+REP_DUP_TRIGRAM_X10K = 3000
+
+
+def gopher_repetition_sql(d: str, table: str = "documents") -> str:
+    """Repetition-based quality signals (Gopher-style): per doc, the
+    fraction of word 2-grams taken by the single most frequent 2-gram
+    and the fraction of word 3-grams that occur more than once, plus a
+    combined keep/drop flag — the repetition filter every LLM-corpus
+    pipeline runs between language-ID and dedup (repetitive SEO/boiler
+    docs poison both training and MinHash buckets).
+
+    Plan: normalized word 2-/3-gram windows via the codegen'd
+    explode-index projection (same formulation as ``fingerprint_sql`` —
+    higher-order-function lambdas never codegen), md5-hashed to
+    fixed-width shuffle keys; gram counts are a groupBy(doc_id, gram)
+    with map-side partial aggregation, re-aggregated per doc. Both
+    shuffles are keyed by doc-local grams (no cross-doc joins — unlike
+    dedup, repetition is a PER-DOC signal), so the stage scales
+    linearly in corpus size with no skew hazard beyond the largest
+    single document. Ratios are floor-scaled BIGINTs (``*_x10k``).
+    """
+    norm = _norm(d)
+    w = D.ws_tokens(d, "norm")
+    nw = D.array_len(d, "w")
+
+    def gram(width: int) -> tuple[str, str]:
+        if d == D.SPARK:
+            parts = ", ".join(f"element_at(w, i + {k + 1})" for k in range(width))
+            lat = f"LATERAL VIEW explode(sequence(0, greatest(nw - {width}, 0))) _t AS i"
+        else:
+            parts = ", ".join(f"w[i + {k + 1}]" for k in range(width))
+            lat = f", unnest(generate_series(0, greatest(nw - {width}, 0))) AS _t(i)"
+        return D.md5_hex(d, f"concat_ws(' ', {parts})"), lat
+
+    g2, lat2 = gram(2)
+    g3, lat3 = gram(3)
+    top2 = D.scaled_ratio(d, "COALESCE(b.top_c, 0)", "COALESCE(b.n_grams, 0)")
+    dup3 = D.scaled_ratio(d, "COALESCE(t3.dup_c, 0)", "COALESCE(t3.n_grams, 0)")
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {w} AS w, {nw} AS nw
+        FROM (SELECT doc_id, {norm} AS norm FROM {table}) n0
+    ),
+    bg AS (
+        SELECT doc_id, {g2} AS g FROM tok {lat2} WHERE nw >= 2 AND i <= nw - 2
+    ),
+    bgc AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+    ),
+    bga AS (
+        SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_grams
+        FROM bgc GROUP BY doc_id
+    ),
+    tg AS (
+        SELECT doc_id, {g3} AS g FROM tok {lat3} WHERE nw >= 3 AND i <= nw - 3
+    ),
+    tgc AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g
+    ),
+    tga AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c,
+               CAST(SUM(c) AS BIGINT) AS n_grams
+        FROM tgc GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           CAST(k.nw AS BIGINT) AS n_tokens,
+           {top2} AS top_bigram_x10k,
+           {dup3} AS dup_trigram_x10k,
+           CAST(CASE WHEN {top2} > {REP_TOP_BIGRAM_X10K}
+                       OR {dup3} > {REP_DUP_TRIGRAM_X10K}
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+    FROM tok k
+    LEFT JOIN bga b ON k.doc_id = b.doc_id
+    LEFT JOIN tga t3 ON k.doc_id = t3.doc_id
+    """.strip()
+
+
 TEXT_OPS = {
     "text_token_stats": token_stats_sql,
     "text_quality": quality_sql,
@@ -366,4 +451,5 @@ TEXT_OPS = {
     "text_sample_stratified": sample_stratified_sql,
     "text_pack_sequences": pack_sequences_sql,
     "text_dup_spans": dup_spans_sql,
+    "text_gopher_repetition": gopher_repetition_sql,
 }

@@ -467,9 +467,73 @@ def url_frontier_dedup_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
+# Politeness-corpus frontier: URLs spread over 7 hosts (doc_id % 7)
+# with messy per-fetch variants (mixed case / www / default ports /
+# fragments) over a colliding 60-slot path space. Every variant
+# normalizes to the SAME canonical https URL, so the frontier collapses
+# to the 420 reachable (host, slot) pairs (7 and 60 are coprime) and
+# ``n_fetches`` grows with corpus size — the dedup actually fires
+# before waves are assigned.
+_POLITE_HOST = "'h' || CAST(doc_id % 7 AS STRING) || '.Example.COM'"
+_POLITE_DID = "CAST(doc_id % 60 AS STRING)"
+_POLITE_RAW = f"""CASE doc_id % 3
+        WHEN 0 THEN 'HTTPS://WWW.' || {_POLITE_HOST} || ':443/p/' || {_POLITE_DID} || '#x'
+        WHEN 1 THEN 'https://' || {_POLITE_HOST} || '/p/' || {_POLITE_DID}
+        ELSE 'HTTPs://' || {_POLITE_HOST} || '/p/' || {_POLITE_DID} || '#frag'
+    END"""
+
+HOST_PARALLELISM = 4   # max simultaneous fetches per host per wave
+SCHEDULER_SHARDS = 32  # host-affine scheduler partitions
+
+
+def host_politeness_sql(d: str, table: str = "documents") -> str:
+    """Politeness-aware crawl scheduling over the deduped frontier: each
+    host's URLs get a deterministic ``fetch_rank``, a ``crawl_wave``
+    (at most {HOST_PARALLELISM} fetches per host per wave — the
+    per-host concurrency cap every polite crawler enforces), and a
+    host-affine ``scheduler_shard`` so all of one host's waves land on
+    the same scheduler partition (per-host rate limits need no
+    cross-partition coordination).
+
+    Scale shape: canonicalization is map-only; the frontier dedup is
+    one groupBy(url_norm); wave assignment is a single window pass
+    partitioned BY HOST — the politeness constraint itself, so the
+    partitioning is semantic, not incidental. Per-host sort cost is
+    bounded by the largest host's frontier; a mega-host can be
+    range-chunked exactly like salted reassembly
+    (operators/extract.py::salt_reassembly) since wave numbering only
+    needs rank WITHIN already-ordered chunks. Shard assignment is a
+    content-independent md5 hash of the host (never ``rand()`` /
+    engine-specific ``hash()``), so schedules are reproducible across
+    runs, engines, and partitionings."""
+    inner = url_normalize_sql(d, table, raw_expr=_POLITE_RAW)
+    shard = D.str_hash64(d, "host")
+    wave = D.int_div(d, "(fetch_rank - 1)", str(HOST_PARALLELISM))
+    return f"""
+    WITH frontier AS (
+        SELECT url_norm, host,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fetches
+        FROM ({inner}) u
+        GROUP BY url_norm, host
+    ),
+    ranked AS (
+        SELECT url_norm, host, first_doc_id, n_fetches,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY url_norm) AS fetch_rank
+        FROM frontier
+    )
+    SELECT url_norm, host, first_doc_id, n_fetches,
+           CAST(fetch_rank AS BIGINT) AS fetch_rank,
+           CAST({wave} AS BIGINT) AS crawl_wave,
+           CAST({shard} % {SCHEDULER_SHARDS} AS BIGINT) AS scheduler_shard
+    FROM ranked
+    """.strip()
+
+
 WEB_SQL_OPS = {
     "web_url_normalize": url_normalize_sql,
     "web_frontier_dedup": url_frontier_dedup_sql,
+    "web_host_politeness": host_politeness_sql,
 }
 
 

@@ -41,6 +41,27 @@ def _rendered_hashes() -> dict[str, str]:
         builder, _tables = ops[name]
         blob = builder(D.SPARK) + "\n====\n" + builder(D.DUCKDB)
         out[name] = hashlib.sha256(blob.encode()).hexdigest()
+    out.update(_function_tail_hashes())
+    return out
+
+
+def _function_tail_hashes() -> dict[str, str]:
+    """Pins for the DataFrame-function tail class: no rendered Spark SQL
+    exists, so the pin is the rendered DuckDB oracle PLUS the raw source
+    bytes of every module in the entry's declared dependency closure —
+    strictly conservative (any closure edit breaks the pin, forcing the
+    entry back into the verified window even if the edit was unrelated)."""
+    import __spark_entry__ as entry_mod
+
+    repo = Path(__file__).resolve().parent.parent
+    oracles = entry_mod.oracle_sql()
+    out: dict[str, str] = {}
+    for name, closure in entry_mod._ROTATION_TAIL_FN.items():
+        h = hashlib.sha256(oracles[name].encode())
+        for rel in closure:
+            h.update(b"\n==== " + rel.encode() + b"\n")
+            h.update((repo / rel).read_bytes())
+        out[name] = h.hexdigest()
     return out
 
 
@@ -70,7 +91,7 @@ def test_rotation_partition_is_total():
 
     q = entry_mod.queries()
     names = list(q)
-    tail = list(entry_mod._ROTATION_TAIL)
+    tail = list(entry_mod._ROTATION_TAIL) + list(entry_mod._ROTATION_TAIL_FN)
     assert not set(entry_mod._ROTATION_LEAD) & set(tail)
     assert names[-len(tail):] == tail
     assert len(names) - len(tail) <= 50, (
