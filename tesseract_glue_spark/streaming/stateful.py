@@ -68,6 +68,12 @@ def _update_user_state(
 
 def user_activity_state(events: DataFrame) -> DataFrame:
     """events stream → per-user cumulative activity snapshots."""
+    from tesseract_glue_spark.sources.shipping import ensure_shipped
+
+    # the state handler is a package closure: executors must be able to
+    # unpickle it regardless of the driver's cwd (verify-skill gotcha;
+    # latent here until the round-5 funnel stream was driven from /tmp)
+    ensure_shipped(events.sparkSession)
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(

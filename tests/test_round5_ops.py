@@ -9,6 +9,7 @@ known-answer inputs instead."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from tesseract_glue_spark.functions import dialect as D
 from tesseract_glue_spark.plans import checks as C
@@ -163,3 +164,76 @@ class TestHostPoliteness:
         frontier row with the fetch count kept."""
         assert politeness_out["url_norm"].is_unique
         assert (politeness_out["n_fetches"] > 1).any()
+
+
+class TestFunnelStream:
+    def test_streaming_funnel_matches_batch(self, spark, tmp_path):
+        """The stateful streaming funnel's FINAL per-user snapshot must
+        equal the batch rel_events_funnel output when events arrive in
+        timestamp order across micro-batches (3 chronological files,
+        one per trigger)."""
+        import os
+        import shutil
+
+        from tests.conftest import SF_DIR
+        from tesseract_glue_spark.operators.relational import events_funnel_sql
+        from tesseract_glue_spark.streaming.events import EVENTS_SCHEMA
+        from tesseract_glue_spark.streaming.funnel_stream import funnel_state
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        cuts = events.selectExpr(
+            "percentile_approx(ts, 0.33) AS c1", "percentile_approx(ts, 0.66) AS c2"
+        ).collect()[0]
+        src = tmp_path / "funnel_stream_src"
+        src.mkdir()
+        splits = [
+            events.where(F.col("ts") <= cuts["c1"]),
+            events.where((F.col("ts") > cuts["c1"]) & (F.col("ts") <= cuts["c2"])),
+            events.where(F.col("ts") > cuts["c2"]),
+        ]
+        for i, part in enumerate(splits):
+            d = tmp_path / f"split-{i}"
+            part.coalesce(1).write.parquet(str(d))
+            (part_file,) = [f for f in d.iterdir() if f.suffix == ".parquet"]
+            dst = src / f"{i}.parquet"
+            shutil.copy(part_file, dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+        stream = funnel_state(
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # one chronological micro-batch per file
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("funnel_stream_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+        # completed funnels drop their state, so post-purchase events open a
+        # SECOND funnel with strictly later timestamps; the batch query keeps
+        # only the FIRST funnel, so reconcile by taking the EARLIEST snapshot
+        # at the maximum stage reached (within one funnel, snapshots at the
+        # same stage carry identical timestamps)
+        snap = spark.sql(
+            """
+            SELECT user_id, view_us, click_us, purchase_us, funnel_stage FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY user_id
+                 ORDER BY funnel_stage DESC, view_us ASC, click_us ASC,
+                          purchase_us ASC) rn
+              FROM funnel_stream_test
+            ) WHERE rn = 1
+            """
+        )
+        got = {r["user_id"]: tuple(r)[1:] for r in snap.collect()}
+        events.createOrReplaceTempView("events")
+        want = {
+            r["user_id"]: tuple(r)[1:]
+            for r in spark.sql(events_funnel_sql(D.SPARK)).collect()
+        }
+        spark.catalog.dropTempView("events")
+        assert got == want
