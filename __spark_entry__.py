@@ -199,6 +199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_dedup_semantic"] = web_dedup_semantic_spark
     q["web_sitemap_discover"] = web_sitemap_discover_spark
+    # round-5 addition: anchor-text corpus construction (per-target
+    # aggregation of the DOM-extracted anchor strings)
+    from tesseract_glue_spark.operators.web import web_anchor_text_spark
+
+    q["web_anchor_text"] = web_anchor_text_spark
     q["pdf_text_extract"] = pdf_text_extract_spark
     q["pdf_spans"] = pdf_spans_spark
     # composed flagship variant: interleaved web docs — text spans are
@@ -256,12 +261,16 @@ _ROTATION_TAIL = (
 # DuckDB oracle PLUS the source bytes of every module in its declared
 # dependency closure (tests/test_rotation_guard.py) — any edit to any
 # closure module fails CI until the entry rotates back into the
-# verified window. All three were driver-green in r04
+# verified window. All six were driver-green in r04
 # (CORRECTNESS_r04.json) and their closures are untouched this round
 # (pages_meta / multimodal / imaging / truth / fixtures have no
-# round-5 diff); pages_metadata, audio_features_fake and
-# video_frames_fake stay IN the window as live representatives of the
-# same kernels.
+# round-5 diff). pages_metadata / audio_features_fake /
+# video_frames_fake joined the tail when the three NEW round-5 queries
+# (text_filter_chain, dedup_decontaminate, web_anchor_text) took their
+# verified-window slots; extract_full_flat / extract_web_flat stay IN
+# the window as live representatives of the same mapInPandas + shipping
+# machinery. ALL 26 tail entries are one round stale after r05 and must
+# rotate back into the window in round 6.
 _ROTATION_TAIL_FN: dict[str, tuple[str, ...]] = {
     name: (
         "tesseract_glue_spark/operators/pages_meta.py",
@@ -274,7 +283,14 @@ _ROTATION_TAIL_FN: dict[str, tuple[str, ...]] = {
         "tesseract_glue_spark/fixtures.py",
         "tesseract_glue_spark/sources/shipping.py",
     )
-    for name in ("image_resize_dims", "image_pixel_stats", "image_features_blank")
+    for name in (
+        "image_resize_dims",
+        "image_pixel_stats",
+        "image_features_blank",
+        "pages_metadata",
+        "audio_features_fake",
+        "video_frames_fake",
+    )
 }
 
 # Round-4's tail — all 15 missed the r04 driver check (green r03,
@@ -403,6 +419,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["web_dedup_semantic"] = web_dedup_semantic_oracle_sql()
     o["web_sitemap_discover"] = web_sitemap_discover_oracle_sql()
+    from tesseract_glue_spark.operators.web import web_anchor_text_oracle_sql
+
+    o["web_anchor_text"] = web_anchor_text_oracle_sql()
     o["pdf_text_extract"] = pdf_text_extract_oracle_sql()
     o["pdf_spans"] = pdf_spans_oracle_sql()
     o["extract_web_flat"] = extract_web_flat_oracle_sql()

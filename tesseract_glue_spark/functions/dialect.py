@@ -130,6 +130,14 @@ def array_len(d: str, expr: str) -> str:
     return f"size({expr})" if d == SPARK else f"len({expr})"
 
 
+def array_distinct_len(d: str, expr: str) -> str:
+    """Number of DISTINCT elements of an array expression — the
+    unique-token counter behind Gopher-style lexical-diversity filters."""
+    if d == SPARK:
+        return f"size(array_distinct({expr}))"
+    return f"len(list_distinct({expr}))"
+
+
 def array_slice(d: str, arr: str, pos1: str, length: int) -> str:
     """1-based slice of `length` elements starting at pos1."""
     if d == SPARK:

@@ -544,6 +544,106 @@ def incremental_dedup_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
+DECON_BUCKETS = 10      # deterministic split: doc_id-hash buckets
+DECON_BENCH_BUCKET = 0  # bucket 0 = held-out benchmark split (~10%)
+DECON_MAX_DF = 50       # shingles in more train docs than this are ambient
+DECON_W = 4             # words per decontamination gram
+
+
+def decontaminate_sql(d: str, table: str = "documents") -> str:
+    """Benchmark decontamination — the train/test-overlap audit every
+    pretraining pipeline runs before release: a training document is
+    CONTAMINATED when it shares any informative word-{DECON_W}-gram
+    with the held-out benchmark split, and the output reports per train
+    doc how many of its distinct grams hit the benchmark (count +
+    scaled fraction + flag).
+
+    The gram width is WIDER than the dedup family's {SHINGLE_W}-gram
+    shingles on purpose: contamination asks "is this benchmark PASSAGE
+    in training?", not "are these documents similar?", so the key must
+    be rare enough that chance co-occurrence stays low (measured on the
+    gate corpus: 3-grams flag 93% of train docs — vocabulary noise —
+    while 4-grams flag 15%, the corpus's real near-dup rate plus tail
+    collisions; production pipelines use 8-13, cf. the dup-span window).
+
+    The gate corpus has one table, so the benchmark split is derived
+    deterministically from a content-independent doc_id hash (1 of
+    {DECON_BUCKETS} buckets ≈ 10%, same engine-stable md5 idiom as
+    ``dedup_incremental`` — never ``rand()``); in production the
+    ``bench`` CTE is instead the actual eval-set gram table, and the
+    query shape below is unchanged. Grams occurring in more than
+    {DECON_MAX_DF} training documents are ambient phrases and excluded
+    from matching (the standard informative-n-gram restriction — and
+    the stop-shingle cap that bounds the join's hottest key; it does
+    not bind at gate scale, by construction of the width sweep above).
+
+    Scale shape: gram explosion is map-side (the same codegen'd
+    index-explode idiom as ``_shingles_cte`` — element_at + concat_ws,
+    never an interpreted lambda); the benchmark gram set is orders of
+    magnitude smaller than the corpus, so the probe is an equi-join on
+    the gram key whose candidate volume is ∝ actual overlaps, never
+    all-pairs; the ambient cap bounds the maximum per-key fan-out. At
+    10^12 docs the benchmark side is broadcastable and no wide
+    exchange touches document text.
+    """
+    cast = "STRING" if d == D.SPARK else "VARCHAR"
+    salted = f"concat('dec_', CAST(s.doc_id AS {cast}))"
+    bucket = f"{D.str_hash64(d, salted)} % {DECON_BUCKETS}"
+    norm = _norm(d)
+    w = D.ws_tokens(d, "norm")
+    nw = D.array_len(d, "w")
+    if d == D.SPARK:
+        parts = ", ".join(f"element_at(w, i + {k + 1})" for k in range(DECON_W))
+        lateral = (
+            f"LATERAL VIEW explode(sequence(0, greatest(nw - {DECON_W}, 0))) _t AS i"
+        )
+    else:
+        parts = ", ".join(f"w[i + {k + 1}]" for k in range(DECON_W))
+        lateral = f", unnest(generate_series(0, greatest(nw - {DECON_W}, 0))) AS _t(i)"
+    gram = f"concat_ws(' ', {parts})"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, norm, {w} AS w, {nw} AS nw
+        FROM (SELECT doc_id, {norm} AS norm FROM {table}) n0
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN nw < {DECON_W} THEN norm ELSE {gram} END AS sh
+        FROM tok {lateral}
+        WHERE nw < {DECON_W} OR i <= nw - {DECON_W}
+    ),
+    marked AS (
+        SELECT s.doc_id, s.sh,
+               CASE WHEN {bucket} = {DECON_BENCH_BUCKET} THEN 1 ELSE 0 END AS is_bench
+        FROM shingles s
+    ),
+    train AS (SELECT doc_id, sh FROM marked WHERE is_bench = 0),
+    bench AS (SELECT DISTINCT sh FROM marked WHERE is_bench = 1),
+    ambient AS (
+        SELECT sh FROM train GROUP BY sh HAVING COUNT(*) > {DECON_MAX_DF}
+    ),
+    bench_eff AS (
+        SELECT b.sh FROM bench b LEFT JOIN ambient a ON b.sh = a.sh
+        WHERE a.sh IS NULL
+    ),
+    counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM train GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM train t JOIN bench_eff b ON t.sh = b.sh
+        GROUP BY t.doc_id
+    )
+    SELECT c.doc_id,
+           c.n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           {D.scaled_ratio(d, "coalesce(h.n_hit, 0)", "c.n_grams")} AS hit_x10k,
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS contaminated
+    FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """.strip()
+
+
 DEDUP_OPS = {
     "dedup_exact": exact_dedup_sql,
     "dedup_incremental": incremental_dedup_sql,
@@ -553,4 +653,5 @@ DEDUP_OPS = {
     "dedup_simhash": simhash_sql,
     "dedup_simhash_pairs": simhash_pairs_sql,
     "dedup_minhash_survivors": minhash_dedup_survivors_sql,
+    "dedup_decontaminate": decontaminate_sql,
 }

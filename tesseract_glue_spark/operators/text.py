@@ -441,6 +441,74 @@ def gopher_repetition_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
+# C4/Gopher-style filter-chain thresholds (calibrated so the synthetic
+# gate corpus exercises EVERY branch — keep plus each drop reason):
+FILTER_MIN_TOKENS = 40        # C4: drop too-short documents
+FILTER_MAX_TOKENS = 5000      # runaway/concatenated documents
+FILTER_UNIQ_MIN_X10K = 4000   # Gopher: unique-word fraction floor (0.40)
+FILTER_STOP_MIN_X10K = 400    # C4: must contain stopwords (≥4% of tokens)
+FILTER_WLEN_MIN_X100 = 300    # Gopher: mean word length within [3, 10]
+FILTER_WLEN_MAX_X100 = 1000
+
+
+def filter_chain_sql(d: str, table: str = "documents") -> str:
+    """Composed quality-filter chain — the C4/Gopher-style keep/drop
+    decision every pretraining pipeline runs before dedup: ordered
+    rules (too_short → too_long → low_diversity → low_stopword →
+    weird_wordlen), verdict = first failing rule, with the underlying
+    per-document features surfaced so downstream sampling can
+    re-threshold without recomputing them.
+
+    All-integer outputs (scaled ratios) keep the cross-engine value
+    hash exact. ``mean_wlen_x100`` exploits the whitespace-collapsed
+    normalization: total word chars = length(norm) - (n_tokens - 1)
+    single separators, so no second tokenizer pass is needed.
+
+    Scale shape: pure map-side projection over codegen'd built-ins —
+    no shuffle, no UDF; at 10^12 docs this runs at parquet-scan speed
+    and its selectivity feeds the stratified sampler
+    (``text_sample_stratified``) and the dedup stages downstream.
+    """
+    norm = _norm(d)
+    w = D.ws_tokens(d, "norm")
+    n_stop = D.word_set_count(d, "norm", EN_STOPWORDS)
+    uniq = D.array_distinct_len(d, "w")
+    mean_wlen = D.scaled_ratio(d, "(length(norm) - (n_tokens - 1))", "n_tokens", 100)
+    reason = f"""CASE
+               WHEN n_tokens < {FILTER_MIN_TOKENS} THEN 'too_short'
+               WHEN n_tokens > {FILTER_MAX_TOKENS} THEN 'too_long'
+               WHEN uniq_x10k < {FILTER_UNIQ_MIN_X10K} THEN 'low_diversity'
+               WHEN stop_x10k < {FILTER_STOP_MIN_X10K} THEN 'low_stopword'
+               WHEN mean_wlen_x100 < {FILTER_WLEN_MIN_X100}
+                    OR mean_wlen_x100 > {FILTER_WLEN_MAX_X100} THEN 'weird_wordlen'
+               ELSE 'ok' END"""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, norm, {w} AS w
+        FROM (SELECT doc_id, {norm} AS norm FROM {table}) n0
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST({D.array_len(d, "w")} AS BIGINT) AS n_tokens,
+               CAST({uniq} AS BIGINT) AS n_uniq,
+               CAST({n_stop} AS BIGINT) AS n_stop,
+               norm
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id, n_tokens,
+               {D.scaled_ratio(d, "n_uniq", "n_tokens")} AS uniq_x10k,
+               {D.scaled_ratio(d, "n_stop", "n_tokens")} AS stop_x10k,
+               {mean_wlen} AS mean_wlen_x100
+        FROM feats
+    )
+    SELECT doc_id, n_tokens, uniq_x10k, stop_x10k, mean_wlen_x100,
+           {reason} AS reason,
+           CASE WHEN {reason} = 'ok' THEN 'keep' ELSE 'drop' END AS verdict
+    FROM scored
+    """.strip()
+
+
 TEXT_OPS = {
     "text_token_stats": token_stats_sql,
     "text_quality": quality_sql,
@@ -452,4 +520,5 @@ TEXT_OPS = {
     "text_pack_sequences": pack_sequences_sql,
     "text_dup_spans": dup_spans_sql,
     "text_gopher_repetition": gopher_repetition_sql,
+    "text_filter_chain": filter_chain_sql,
 }

@@ -370,6 +370,53 @@ def web_link_graph_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_anchor_text_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus construction — the web-search / link-embedding
+    feature build: DOM link extraction, then per-target aggregation of
+    every anchor string pointing at each URL. Chrome (nav/footer)
+    anchors are boilerplate and excluded; the sorted distinct anchor
+    list is pipe-joined so the output is deterministic and hashable.
+
+    Scale shape: map-only DOM parse (mapInPandas), then ONE exchange
+    keyed on href with map-side partial aggregation; collect_set is
+    bounded by the distinct anchor vocabulary per target (tiny), never
+    the crawl size — the same safe shape as ``web_link_graph``.
+    """
+    links = html_outlinks_spark(spark, sf_dir)
+    return (
+        links.where(F.col("is_chrome") == 0)
+        .groupBy("href")
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("anchor").alias("n_unique_anchors"),
+            F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias("anchors"),
+        )
+    )
+
+
+def web_anchor_text_oracle_sql(table: str = "documents") -> str:
+    """Closed-form over the corpus-construction contract's non-chrome
+    links (same branch set as the link-graph oracle, anchors attached):
+    prev/next of different docs collide on one '/doc/k' target, so the
+    distinct-anchor list must aggregate over the combined edge list."""
+    return f"""
+    WITH links AS MATERIALIZED (
+        SELECT doc_id, {_REF_HREF} AS href, 'reference docs' AS anchor FROM {table}
+        UNION ALL SELECT doc_id, {_PREV_HREF}, 'prev' FROM {table}
+        UNION ALL SELECT doc_id, {_NEXT_HREF}, 'next' FROM {table}
+        UNION ALL SELECT doc_id, '#', 'tw' FROM {table} WHERE doc_id % 3 = 1
+        UNION ALL SELECT doc_id, '#', 'fb' FROM {table} WHERE doc_id % 3 = 1
+        UNION ALL SELECT doc_id, '#', 'rss' FROM {table} WHERE doc_id % 3 = 1
+    )
+    SELECT href, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique_anchors,
+           array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+    FROM links GROUP BY href
+    """.strip()
+
+
 def web_link_graph_oracle_sql(table: str = "documents") -> str:
     """Group over the union of all non-chrome links — prev/next targets
     of different docs can collide on one '/doc/k' href, so aggregation

@@ -1,0 +1,229 @@
+"""Semantic unit tests for the second batch of round-5 additions:
+the C4/Gopher-style filter chain (every rule branch + rule ordering on
+constructed docs), benchmark decontamination (known overlap, short-doc
+fallback, ambient-gram cap), and anchor-text aggregation (corpus
+contract + plan shape). Oracle parity for all three is covered by
+tests/test_entry.py::test_queries_match_oracles; these tests pin the
+SEMANTICS with known-answer inputs instead."""
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tesseract_glue_spark.functions import dialect as D
+from tesseract_glue_spark.plans import checks as C
+
+
+def _run_both(spark, pdf: pd.DataFrame, builder) -> pd.DataFrame:
+    """Run a dual-dialect builder on a constructed docs table in BOTH
+    engines, assert they agree, return the result."""
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got = spark.sql(builder(D.SPARK)).toPandas()
+    spark.catalog.dropTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.sql(builder(D.DUCKDB)).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)[g.columns]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    return g.set_index("doc_id")
+
+
+class TestFilterChain:
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        from tesseract_glue_spark.operators.text import filter_chain_sql
+
+        def words(n, prefix="w"):
+            return " ".join(f"{prefix}{i}" for i in range(n))
+
+        docs = {
+            # 40 tokens, 100% unique, 10% stopwords, wlen ~5.6 → keep
+            0: " ".join(f"word{i:02d}" for i in range(36)) + " the and of in",
+            1: words(10),                                   # too_short
+            2: words(6000),                                 # too_long
+            3: "spam " * 50,                                # low_diversity
+            4: words(50),                                   # low_stopword (no stopwords)
+            # 45 distinct 2-char words + 5 stopword 'a' → mean wlen < 3
+            5: " ".join(f"{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(45))
+               + " a a a a a",
+            # 47 distinct 12-char words + 3 'the' → mean wlen > 10
+            6: " ".join(f"verylongword{i:04d}"[:12] + f"{i:03d}" for i in range(47))
+               + " the the the",
+            # violates BOTH length and diversity → first rule wins
+            7: "dup " * 10,
+        }
+        pdf = pd.DataFrame(
+            {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+        )
+        return _run_both(spark, pdf, filter_chain_sql)
+
+    def test_every_branch_fires(self, out):
+        assert out.loc[0, "reason"] == "ok" and out.loc[0, "verdict"] == "keep"
+        assert out.loc[1, "reason"] == "too_short"
+        assert out.loc[2, "reason"] == "too_long"
+        assert out.loc[3, "reason"] == "low_diversity"
+        assert out.loc[4, "reason"] == "low_stopword"
+        assert out.loc[5, "reason"] == "weird_wordlen"
+        assert out.loc[6, "reason"] == "weird_wordlen"
+        assert set(out[out.reason != "ok"]["verdict"]) == {"drop"}
+
+    def test_rule_order_first_failure_wins(self, out):
+        # doc 7 is both too short AND low diversity — too_short is
+        # checked first and must be the reported reason
+        assert out.loc[7, "reason"] == "too_short"
+
+    def test_features_surfaced(self, out):
+        assert out.loc[3, "uniq_x10k"] == 200  # 1 distinct / 50 tokens
+        assert out.loc[4, "stop_x10k"] == 0
+        assert out.loc[1, "n_tokens"] == 10
+
+    def test_gate_corpus_exercises_mixed_verdicts(self, spark):
+        """On the synthetic gate corpus the chain must produce BOTH
+        verdicts and several distinct reasons — a constant-output
+        filter would gate-hash green while being useless."""
+        from tests.conftest import SF_DIR
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.text import filter_chain_sql
+
+        df = spark_runner(filter_chain_sql, tables=("documents",))(spark, SF_DIR)
+        reasons = {r["reason"] for r in df.select("reason").distinct().collect()}
+        assert "ok" in reasons and len(reasons) >= 3, reasons
+
+
+def _bucket(doc_id: int) -> int:
+    return int(hashlib.md5(f"dec_{doc_id}".encode()).hexdigest()[:8], 16) % 10
+
+
+class TestDecontaminate:
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        from tesseract_glue_spark.operators.dedup import decontaminate_sql
+
+        bench_ids = [i for i in range(400) if _bucket(i) == 0]
+        train_ids = [i for i in range(400) if _bucket(i) != 0]
+        assert len(bench_ids) >= 2 and len(train_ids) >= 70
+        b1, b2 = bench_ids[0], bench_ids[1]
+        t_hit, t_clean, t_short = train_ids[0], train_ids[1], train_ids[2]
+        fillers = train_ids[3:63]  # 60 docs sharing ONE ambient gram
+        rows = [
+            (b1, "alpha beta gamma delta epsilon zeta"),
+            (b2, "the common phrase repeated often indeed"),
+            # shares exactly the 4-gram 'alpha beta gamma delta'
+            (t_hit, "alpha beta gamma delta unrelated trailing words"),
+            (t_clean, "completely different content with nothing shared"),
+            # < DECON_W words: whole-text gram; no bench doc matches it
+            (t_short, "tiny doc"),
+        ] + [
+            # each filler's only bench-shared gram is
+            # 'common phrase repeated often' — present in 60 > 50 train
+            # docs, so it is AMBIENT and must not flag them
+            (i, f"u{i}a u{i}b common phrase repeated often u{i}c")
+            for i in fillers
+        ]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        out = _run_both(spark, pdf, decontaminate_sql)
+        return out, b1, b2, t_hit, t_clean, t_short, fillers
+
+    def test_benchmark_docs_absent_from_output(self, out):
+        res, b1, b2, *_ = out
+        assert b1 not in res.index and b2 not in res.index
+
+    def test_known_overlap_flagged(self, out):
+        res, _, _, t_hit, t_clean, _, _ = out
+        assert res.loc[t_hit, "contaminated"] == 1
+        assert res.loc[t_hit, "n_hit"] == 1
+        assert res.loc[t_hit, "hit_x10k"] == 10000 // res.loc[t_hit, "n_grams"] * 1
+        assert res.loc[t_clean, "contaminated"] == 0
+        assert res.loc[t_clean, "n_hit"] == 0
+
+    def test_short_doc_whole_text_gram(self, out):
+        res, *_ , t_short, _ = out
+        assert res.loc[t_short, "n_grams"] == 1
+        assert res.loc[t_short, "contaminated"] == 0
+
+    def test_ambient_gram_cap(self, out):
+        res, *_, fillers = out
+        assert (res.loc[fillers, "contaminated"] == 0).all()
+
+    def test_exact_benchmark_copy_is_contaminated(self, spark):
+        from tesseract_glue_spark.operators.dedup import decontaminate_sql
+
+        bench_ids = [i for i in range(100) if _bucket(i) == 0]
+        train_ids = [i for i in range(100) if _bucket(i) != 0]
+        text = "exact benchmark passage lifted verbatim into training data"
+        pdf = pd.DataFrame(
+            [(bench_ids[0], text), (train_ids[0], text)],
+            columns=["doc_id", "text"],
+        )
+        res = _run_both(spark, pdf, decontaminate_sql)
+        assert res.loc[train_ids[0], "contaminated"] == 1
+        # every gram of the copy hits → full-coverage ratio
+        assert res.loc[train_ids[0], "hit_x10k"] == 10000
+
+    def test_plan_no_quadratic_join(self, spark):
+        from tests.conftest import SF_DIR
+        from tesseract_glue_spark.operators.dedup import decontaminate_sql
+        from tesseract_glue_spark.operators.registry import spark_runner
+
+        df = spark_runner(decontaminate_sql, tables=("documents",))(spark, SF_DIR)
+        plan = C.plan_text(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+class TestAnchorText:
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        from tests.conftest import SF_DIR
+        from tesseract_glue_spark.operators.web import web_anchor_text_spark
+
+        df = web_anchor_text_spark(spark, SF_DIR)
+        return {r["href"]: r.asDict() for r in df.collect()}, df
+
+    def test_share_target_aggregates_three_anchors(self, out):
+        rows, _ = out
+        assert rows["#"]["anchors"] == "fb|rss|tw"  # sorted, pipe-joined
+        assert rows["#"]["n_unique_anchors"] == 3
+        assert rows["#"]["n_anchors"] == 3 * rows["#"]["n_docs"]
+
+    def test_ref_targets_single_anchor(self, out):
+        rows, _ = out
+        ref = [h for h in rows if h.startswith("/ref/")]
+        assert ref
+        assert all(rows[h]["anchors"] == "reference docs" for h in ref)
+
+    def test_doc_targets_prev_next_only(self, out):
+        rows, _ = out
+        doc = [h for h in rows if h.startswith("/doc/")]
+        assert doc
+        for h in doc:
+            assert set(rows[h]["anchors"].split("|")) <= {"next", "prev"}
+
+    def test_chrome_anchors_excluded(self, out):
+        rows, _ = out
+        for h in ("/", "/about", "/contact", "/terms", "/privacy"):
+            assert h not in rows
+
+    def test_plan_href_keyed_exchanges_only(self, out):
+        """The multi-countDistinct runs as Spark's two-phase Expand
+        strategy: exactly two hash exchanges, BOTH leading with href
+        (partial-distinct on (href, anchor, doc_id, gid), final on
+        href) — never a doc-keyed or all-to-all shuffle of the link
+        rows, and no nested-loop shapes. A FRESH (unexecuted) plan is
+        inspected — the fixture's collected frame would show the AQE
+        final+initial plan and double-count every exchange."""
+        from tests.conftest import SF_DIR
+        from tesseract_glue_spark.operators.web import web_anchor_text_spark
+
+        _, executed = out
+        plan = C.plan_text(web_anchor_text_spark(executed.sparkSession, SF_DIR))
+        import re
+
+        keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+        assert keys and set(keys) == {"href"}, keys
+        assert len(keys) == 2, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
