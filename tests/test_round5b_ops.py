@@ -173,6 +173,44 @@ class TestDecontaminate:
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
 
+    def test_plan_probe_joins_broadcast(self, spark):
+        """The benchmark/ambient sides are tiny relative to the corpus;
+        the probe must plan as broadcast hash joins — a sort-merge here
+        would shuffle the full train gram stream per join at 10^12
+        docs. (At gate scale every join qualifies; locking the shape
+        catches an accidental broadcast-threshold or hint regression.)"""
+        from tests.conftest import SF_DIR
+        from tesseract_glue_spark.operators.dedup import decontaminate_sql
+        from tesseract_glue_spark.operators.registry import spark_runner
+
+        df = spark_runner(decontaminate_sql, tables=("documents",))(spark, SF_DIR)
+        plan = C.plan_text(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+class TestFilterChainPlan:
+    def test_map_only_zero_exchanges(self, spark):
+        """The filter chain is a pure projection: NO exchange of any
+        kind may appear — at 10^12 docs it must run at parquet-scan
+        speed."""
+        from tests.conftest import SF_DIR
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.text import filter_chain_sql
+
+        df = spark_runner(filter_chain_sql, tables=("documents",))(spark, SF_DIR)
+        plan = C.plan_text(df)
+        assert "Exchange" not in plan, plan
+
+    def test_scan_prunes_to_needed_columns(self, spark):
+        from tests.conftest import SF_DIR
+        from tesseract_glue_spark.operators.registry import spark_runner
+        from tesseract_glue_spark.operators.text import filter_chain_sql
+
+        df = spark_runner(filter_chain_sql, tables=("documents",))(spark, SF_DIR)
+        plan = C.plan_text(df)
+        assert C.columns_pruned(plan, "documents", {"doc_id", "text"}), plan
+
 
 class TestAnchorText:
     @pytest.fixture(scope="class")
