@@ -644,6 +644,73 @@ def decontaminate_sql(d: str, table: str = "documents") -> str:
     """.strip()
 
 
+def decontaminate_against_sql(
+    d: str, table: str = "documents", bench_table: str = "benchmark"
+) -> str:
+    """Production variant of ``dedup_decontaminate``: probe the corpus's
+    word-{DECON_W}-grams against an ACTUAL benchmark/eval table instead
+    of the deterministic hash split the single-table gate corpus uses.
+    Same output contract (doc_id, n_grams, n_hit, hit_x10k,
+    contaminated), same ambient-gram cap, same scale shape — the
+    benchmark gram set stays broadcastable at any corpus scale. Used by
+    ``run_curate --benchmark``.
+    """
+    norm = _norm(d)
+    w = D.ws_tokens(d, "norm")
+    nw = D.array_len(d, "w")
+    if d == D.SPARK:
+        parts = ", ".join(f"element_at(w, i + {k + 1})" for k in range(DECON_W))
+        lateral = (
+            f"LATERAL VIEW explode(sequence(0, greatest(nw - {DECON_W}, 0))) _t AS i"
+        )
+    else:
+        parts = ", ".join(f"w[i + {k + 1}]" for k in range(DECON_W))
+        lateral = f", unnest(generate_series(0, greatest(nw - {DECON_W}, 0))) AS _t(i)"
+    gram = f"concat_ws(' ', {parts})"
+
+    def grams(src: str, p: str) -> str:
+        return f"""
+    {p}tok AS (
+        SELECT doc_id, norm, {w} AS w, {nw} AS nw
+        FROM (SELECT doc_id, {norm} AS norm FROM {src}) {p}n0
+    ),
+    {p}shingles AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN nw < {DECON_W} THEN norm ELSE {gram} END AS sh
+        FROM {p}tok {lateral}
+        WHERE nw < {DECON_W} OR i <= nw - {DECON_W}
+    )""".strip()
+
+    return f"""
+    WITH {grams(table, "")},
+    {grams(bench_table, "b_")},
+    train AS (SELECT doc_id, sh FROM shingles),
+    bench AS (SELECT DISTINCT sh FROM b_shingles),
+    ambient AS (
+        SELECT sh FROM train GROUP BY sh HAVING COUNT(*) > {DECON_MAX_DF}
+    ),
+    bench_eff AS (
+        SELECT b.sh FROM bench b LEFT JOIN ambient a ON b.sh = a.sh
+        WHERE a.sh IS NULL
+    ),
+    counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM train GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM train t JOIN bench_eff b ON t.sh = b.sh
+        GROUP BY t.doc_id
+    )
+    SELECT c.doc_id,
+           c.n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           {D.scaled_ratio(d, "coalesce(h.n_hit, 0)", "c.n_grams")} AS hit_x10k,
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS contaminated
+    FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """.strip()
+
+
 DEDUP_OPS = {
     "dedup_exact": exact_dedup_sql,
     "dedup_incremental": incremental_dedup_sql,
