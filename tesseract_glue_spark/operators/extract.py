@@ -227,10 +227,18 @@ def ocr_media(spans: DataFrame, pages: DataFrame, config: ExtractionConfig) -> D
     # different partitioning), AQE never coalesces a user-specified N,
     # and it load-balances pages evenly across UDF workers regardless of
     # ref-hash skew.
-    # 4 tasks per core: per-page cost varies by page class (deskew,
+    # 2 tasks per core: per-page cost varies by page class (deskew,
     # picture blocks), so exact-width partitioning makes the stage wait
-    # on its slowest task; over-decomposition smooths stragglers.
-    n_parts = config.ocr_partitions or 4 * spans.sparkSession.sparkContext.defaultParallelism
+    # on its slowest task and some over-decomposition smooths
+    # stragglers — but every mapInPandas task pays a fixed Python
+    # protocol cost (~7 ms measured on an identity kernel: 32 tasks
+    # 0.46 s, 128 tasks 1.09 s, 256 tasks 2.04 s on idle local[32]),
+    # so 4 tasks/core spent more on task overhead than it saved on
+    # stragglers (extract_full 2.82 s at 4× vs 2.27 s at 1-2×, sf0.1).
+    # 2× keeps straggler smoothing at half the overhead; the multiplier
+    # scales with cluster parallelism, and config.ocr_partitions
+    # overrides it for corpora with known-heavier page-cost tails.
+    n_parts = config.ocr_partitions or 2 * spans.sparkSession.sparkContext.defaultParallelism
     resolved = resolved.repartition(n_parts)
     return resolved.mapInPandas(_make_ocr_fn(config), schema=OCR_RESULT_SCHEMA)
 

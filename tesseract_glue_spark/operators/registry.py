@@ -45,7 +45,18 @@ SHINGLES_VIEW = "shingles_mv"
 
 def get_cached_shingles(spark: SparkSession, sf_dir: str, table: str = "documents") -> DataFrame:
     """Materialize (once per session+corpus) and register the shingle
-    table under the ``shingles_mv`` view; returns the persisted frame."""
+    table under the ``shingles_mv`` view; returns the materialized frame.
+
+    ``localCheckpoint`` (not ``persist``): the consuming pair queries
+    wrap the view reference in their own ``WITH`` chains, and Spark 4's
+    CTE handling re-numbers the merged ``CTERelationDef`` ids, so the
+    canonicalized subtree of a *persisted* plan never matches inside a
+    consumer's own CTE — CacheManager silently misses and every union
+    branch re-ran the whole shingle pipeline from the parquet scan
+    (measured: 8 full ``Scan parquet → Generate → 3×Exchange`` chains
+    per simhash-pairs plan, 12 per minhash-LSH plan; r6 plan captures).
+    Checkpointing truncates the lineage to a scan-free leaf, which every
+    branch reads directly — no cache matching involved."""
     from tesseract_glue_spark.operators.dedup import shingles_sql
 
     key = (spark.sparkContext.applicationId, sf_dir, table)
@@ -54,8 +65,7 @@ def get_cached_shingles(spark: SparkSession, sf_dir: str, table: str = "document
         for old_key in [k for k in _SHINGLE_CACHE if k[0] != key[0]]:
             _SHINGLE_CACHE.pop(old_key).unpersist()  # dead sessions
         spark.read.parquet(f"{sf_dir}/{table}.parquet").createOrReplaceTempView(table)
-        sh = spark.sql(shingles_sql(D.SPARK, table)).persist()
-        sh.count()
+        sh = spark.sql(shingles_sql(D.SPARK, table)).localCheckpoint(eager=True)
         _SHINGLE_CACHE[key] = sh
     sh.createOrReplaceTempView(SHINGLES_VIEW)
     return sh

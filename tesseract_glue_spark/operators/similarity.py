@@ -79,6 +79,18 @@ def _quant(d: str, col: str = "embedding") -> str:
 
 
 def _dot(d: str, a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Integer dot product of two BIGINT arrays.
+
+    r6 measured note: the ``aggregate(zip_with(...))`` lambda form IS
+    the fast Spark rendering on this engine (4.1). An unrolled
+    64-term ``element_at(a,i)*element_at(b,i)`` sum — codegen'd, no
+    lambdas — measured 3.3× SLOWER on a 98k-row materialized pair
+    table (0.77 s vs 2.51 s) and regressed every similarity query
+    (ann_topk_brute 1.5 → 5.4 s at sf0.1): codegen'd element_at pays
+    per-call null/bounds checks per term, while the higher-order
+    function iterates the ArrayData in one tight specialized loop.
+    Don't "optimize" this into unrolled arithmetic again without
+    re-measuring."""
     if d == D.SPARK:
         return (
             f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
@@ -154,11 +166,21 @@ def cosine_neardup_pairs_sql(d: str, table: str = "embeddings") -> str:
 def _plane_bucket_expr(d: str, planes: list[list[int]]) -> str:
     """Hyperplane-sign bucket of the quantized vector ``q`` — one bit
     per plane, ``2^len(planes)`` buckets."""
+    # NOTE (r6): the per-plane dot stays in the aggregate(zip_with(...))
+    # lambda form on the Spark side even though lambdas are interpreted
+    # — it runs once per ROW (not per pair), and unrolling all
+    # TABLES×PLANES×DIM literal products into one projection was
+    # measured a codegen bomb: 2048-term expressions OOM'd a 1 GB
+    # driver at sf0.01 and took 18 s where the lambda form takes ~2 s.
+    # The per-PAIR dots (the actual inner loop) are unrolled in _dot.
     terms = []
     for p, plane in enumerate(planes):
         if d == D.SPARK:
             arr = "array(" + ", ".join(f"CAST({w} AS BIGINT)" for w in plane) + ")"
-            pd_ = _dot(d, "q", arr, dim=len(plane))
+            pd_ = (
+                f"aggregate(zip_with(q, {arr}, (x, y) -> x * y), "
+                f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            )
             terms.append(f"(CASE WHEN {pd_} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) ELSE 0 END)")
         else:
             arr = "[" + ", ".join(f"CAST({w} AS BIGINT)" for w in plane) + "]"
@@ -171,6 +193,30 @@ def _bucket_expr(d: str) -> str:
     return _plane_bucket_expr(d, PLANES)
 
 
+def _bucket_tables_src(
+    d: str, plane_tables: list[list[list[int]]], id_col: str, src: str
+) -> str:
+    """The (id, table_no, bucket) relation for multi-table LSH.
+
+    Spark: ONE posexplode over the per-table bucket array — the
+    relation is a single subtree, identical wherever referenced, so
+    the self-join's exchange is planned once and the probe side is a
+    ReusedExchange. The L-way UNION ALL form (kept for DuckDB — the
+    oracle text is frozen) re-ran the quantize+bucket pipeline once
+    per table per join side. table_no = array position; same rows."""
+    if d == D.SPARK:
+        arr = ", ".join(_plane_bucket_expr(d, planes) for planes in plane_tables)
+        return (
+            f"        SELECT {id_col}, pos AS table_no, bucket FROM {src}\n"
+            f"        LATERAL VIEW posexplode(array({arr})) _b AS pos, bucket"
+        )
+    return "\n        UNION ALL\n".join(
+        f"        SELECT {id_col}, {t} AS table_no, "
+        f"{_plane_bucket_expr(d, planes)} AS bucket FROM {src}"
+        for t, planes in enumerate(plane_tables)
+    )
+
+
 def cosine_neardup_lsh_sql(d: str, table: str = "embeddings") -> str:
     """Near-dup pairs via multi-table hyperplane LSH + exact verify.
 
@@ -179,11 +225,7 @@ def cosine_neardup_lsh_sql(d: str, table: str = "embeddings") -> str:
     bucket); DISTINCT merges candidates found by several tables; exact
     integer cosine filters false positives. Output ⊆ the brute-force
     pair set (recall measured against it in tests)."""
-    bucket_union = "\n        UNION ALL\n".join(
-        f"        SELECT vec_id, {t} AS table_no, "
-        f"{_plane_bucket_expr(d, planes)} AS bucket FROM qv"
-        for t, planes in enumerate(NEARDUP_PLANE_TABLES)
-    )
+    bucket_union = _bucket_tables_src(d, NEARDUP_PLANE_TABLES, "vec_id", "qv")
     cos = _cos_x10k(d, _dot(d, "a.q", "b.q"), "a.n2", "b.n2")
     return f"""
     WITH {_q_cte(d, table)},
@@ -270,11 +312,7 @@ def ann_topk_lsh_multi_sql(d: str, table: str = "embeddings") -> str:
     single bucket: per-table collision for angle θ is (1-θ/π)^k and the
     L-table union takes 1-(1-p)^L — measured ~10× the single-table
     recall on the test corpus while candidates stay ∝ collisions."""
-    bucket_union = "\n        UNION ALL\n".join(
-        f"        SELECT vec_id, {t} AS table_no, "
-        f"{_plane_bucket_expr(d, planes)} AS bucket FROM qv"
-        for t, planes in enumerate(NEARDUP_PLANE_TABLES)
-    )
+    bucket_union = _bucket_tables_src(d, NEARDUP_PLANE_TABLES, "vec_id", "qv")
     cos = _cos_x10k(d, _dot(d, "a.q", "b.q"), "a.n2", "b.n2")
     return f"""
     WITH {_q_cte(d, table)},
@@ -349,7 +387,9 @@ IVF_NPROBE = 2      # clusters probed per query
 
 
 def _d2_expr(d: str, q: str, cq: str) -> str:
-    """Squared L2 distance between two quantized BIGINT arrays."""
+    """Squared L2 distance between two quantized BIGINT arrays.
+    Spark keeps the zip_with lambda — see the measured note on
+    :func:`_dot` (unrolled element_at is ~3× slower on this engine)."""
     if d == D.SPARK:
         return (
             f"aggregate(zip_with({q}, {cq}, (x, y) -> (x - y) * (x - y)), "
@@ -542,7 +582,13 @@ def ann_topk_ivf(spark, sf_dir: str, table: str = "embeddings"):
     tag = uuid4().hex[:12]  # per-invocation view names: concurrent IVF
     qv_view, cent_view = f"ivf_qv_{tag}", f"ivf_cent_{tag}"  # runs must not trample
     spark.read.parquet(f"{sf_dir}/{table}.parquet").createOrReplaceTempView(table)
-    qv = spark.sql(ivf_qv_sql(D.SPARK, table)).persist()
+    # localCheckpoint, not persist: every step/final SQL wraps the qv
+    # view in its own WITH chain, and Spark 4's CTE-id renumbering
+    # makes CacheManager miss persisted plans referenced inside a
+    # consumer's CTE (same failure mode as the shingle cache,
+    # registry.get_cached_shingles) — each Lloyd step was re-reading
+    # parquet and re-quantizing. A checkpointed leaf is read directly.
+    qv = spark.sql(ivf_qv_sql(D.SPARK, table)).localCheckpoint(eager=True)
     qv.createOrReplaceTempView(qv_view)
 
     def materialize(df):
@@ -565,7 +611,9 @@ def ann_topk_ivf(spark, sf_dir: str, table: str = "embeddings"):
     finally:
         spark.catalog.dropTempView(qv_view)
         spark.catalog.dropTempView(cent_view)
-        qv.unpersist()
+        # qv's checkpoint blocks are released by the ContextCleaner once
+        # the frame is unreachable (same lifecycle as the CC/PageRank
+        # per-round checkpoints); nothing persists across invocations
 
 
 # ---------------------------------------------------------------------------
@@ -633,11 +681,7 @@ def semantic_neardup_sql(d: str, src: str) -> str:
     — same scale shape as :func:`cosine_neardup_lsh_sql` (candidates ∝
     bucket collisions, never all-pairs; the only wide exchanges move
     32-int vectors, not text)."""
-    bucket_union = "\n        UNION ALL\n".join(
-        f"        SELECT doc_id, {t} AS table_no, "
-        f"{_plane_bucket_expr(d, planes)} AS bucket FROM sem_qv"
-        for t, planes in enumerate(SEM_PLANE_TABLES)
-    )
+    bucket_union = _bucket_tables_src(d, SEM_PLANE_TABLES, "doc_id", "sem_qv")
     cos = _cos_x10k(d, _dot(d, "a.q", "b.q", SEM_DIM), "a.n2", "b.n2")
     return f"""
     WITH {_sem_vec_ctes(d, src)},

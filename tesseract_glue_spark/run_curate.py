@@ -3,9 +3,12 @@ the standard pretraining-data pass composed from the verified
 operators:
 
     spark-submit --py-files tesseract_glue_spark_pyfiles.zip \
-        -m tesseract_glue_spark.run_curate \
+        path/to/tesseract_glue_spark/run_curate.py \
         --input <docs parquet|iceberg:tbl> --output <dir> \
         [--benchmark <parquet|iceberg:tbl>] [--no-filter] [--no-dedup]
+
+(or ``python -m tesseract_glue_spark.run_curate ...`` — spark-submit
+has no ``-m`` flag)
 
 Stages, in the order real pipelines run them:
 

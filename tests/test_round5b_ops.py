@@ -185,8 +185,12 @@ class TestDecontaminate:
 
         df = spark_runner(decontaminate_sql, tables=("documents",))(spark, SF_DIR)
         plan = C.plan_text(df)
-        assert "BroadcastHashJoin" in plan, plan
-        assert "SortMergeJoin" not in plan, plan
+        # ≥2 broadcast joins = the bench_eff anti-join + the hits probe
+        # join both hash-broadcast. Scoped assertion (r5 advisor): a
+        # plan-wide "no SortMergeJoin" ban is broadcast-threshold/AQE-
+        # sensitive — at a larger SF a legitimately-SMJ outer join
+        # would fail the suite although the probe joins are correct.
+        assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
 class TestFilterChainPlan:
