@@ -196,20 +196,21 @@ def _bucket_expr(d: str) -> str:
 def _bucket_tables_src(
     d: str, plane_tables: list[list[list[int]]], id_col: str, src: str
 ) -> str:
-    """The (id, table_no, bucket) relation for multi-table LSH.
+    """The (id, table_no, bucket) relation for multi-table LSH — the
+    L-way UNION ALL, in BOTH dialects.
 
-    Spark: ONE posexplode over the per-table bucket array — the
-    relation is a single subtree, identical wherever referenced, so
-    the self-join's exchange is planned once and the probe side is a
-    ReusedExchange. The L-way UNION ALL form (kept for DuckDB — the
-    oracle text is frozen) re-ran the quantize+bucket pipeline once
-    per table per join side. table_no = array position; same rows."""
-    if d == D.SPARK:
-        arr = ", ".join(_plane_bucket_expr(d, planes) for planes in plane_tables)
-        return (
-            f"        SELECT {id_col}, pos AS table_no, bucket FROM {src}\n"
-            f"        LATERAL VIEW posexplode(array({arr})) _b AS pos, bucket"
-        )
+    r6 measured note: a single-posexplode variant (one subtree, all L
+    bucket expressions in one projection) was tried and REVERTED for
+    this family: interleaved A/B at sf0.1 measured it 1.7× SLOWER on
+    cosine_neardup_lsh (old min 1.72 / med 2.04 s vs new 2.97 / 3.55 s,
+    0% steal) — here the per-branch subtree is only a 2k-row scan plus
+    k plane dots, so union branches cost little to repeat and run as
+    independent parallel stages, while the fused projection serializes
+    all L·k plane dots into one operator chain. The SAME transform is
+    a measured WIN for the minhash/simhash band tables
+    (operators/dedup.py), whose per-branch subtree is a 16-aggregate
+    signature pass over every shingle hash — the rule is "posexplode
+    when the per-branch subtree is expensive, union when it is cheap"."""
     return "\n        UNION ALL\n".join(
         f"        SELECT {id_col}, {t} AS table_no, "
         f"{_plane_bucket_expr(d, planes)} AS bucket FROM {src}"
