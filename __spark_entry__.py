@@ -215,6 +215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q[name] = cached_shingles_runner(builder, tables=tables)
         else:
             q[name] = spark_runner(builder, tables=tables)
+    # r6: the brute-force ANN recall oracle runs as one numpy kernel
+    # over the stride-capped set (same contract, bit-equal output; the
+    # DuckDB oracle stays the SQL template) — see
+    # similarity.ann_topk_bruteforce for the measured rationale
+    from tesseract_glue_spark.operators.similarity import ann_topk_bruteforce
+
+    q["emb_ann_topk_brute"] = ann_topk_bruteforce
     return _verification_rotation(q)
 
 

@@ -29,11 +29,14 @@ from tesseract_glue_spark.operators.text import langid_sql, quality_sql
 def register(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
     from tesseract_glue_spark.operators.similarity import ann_topk_ivf
 
+    from tesseract_glue_spark.operators.similarity import ann_topk_bruteforce
+
     specs = {
         "dedup_minhash_lsh": (minhash_lsh_pairs_sql, ("documents",)),
         "dedup_ngram_jaccard": (ngram_jaccard_pairs_sql, ("documents",)),
         "dedup_simhash_pairs": (simhash_pairs_sql, ("documents",)),
-        "ann_topk_brute": (ann_topk_bruteforce_sql, ("embeddings",)),
+        # numpy-kernel form (same contract/rows as ann_topk_bruteforce_sql)
+        "ann_topk_brute": (ann_topk_bruteforce, ("embeddings",)),
         "ann_topk_lsh": (ann_topk_lsh_sql, ("embeddings",)),
         "emb_neardup_lsh": (cosine_neardup_lsh_sql, ("embeddings",)),
         "text_langid_quality": (
@@ -48,6 +51,8 @@ def register(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
     for name, (builder, tables) in specs.items():
         if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs"):
             runner = cached_shingles_runner(builder, tables=tables)
+        elif name == "ann_topk_brute":
+            runner = builder  # already a (spark, sf_dir) -> DataFrame callable
         else:
             runner = spark_runner(builder, tables=tables)
         out[name] = (lambda r=runner: r(spark, sf_dir).count())

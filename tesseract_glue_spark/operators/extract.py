@@ -227,18 +227,21 @@ def ocr_media(spans: DataFrame, pages: DataFrame, config: ExtractionConfig) -> D
     # different partitioning), AQE never coalesces a user-specified N,
     # and it load-balances pages evenly across UDF workers regardless of
     # ref-hash skew.
-    # 2 tasks per core: per-page cost varies by page class (deskew,
-    # picture blocks), so exact-width partitioning makes the stage wait
-    # on its slowest task and some over-decomposition smooths
-    # stragglers — but every mapInPandas task pays a fixed Python
-    # protocol cost (~7 ms measured on an identity kernel: 32 tasks
-    # 0.46 s, 128 tasks 1.09 s, 256 tasks 2.04 s on idle local[32]),
-    # so 4 tasks/core spent more on task overhead than it saved on
-    # stragglers (extract_full 2.82 s at 4× vs 2.27 s at 1-2×, sf0.1).
-    # 2× keeps straggler smoothing at half the overhead; the multiplier
-    # scales with cluster parallelism, and config.ocr_partitions
-    # overrides it for corpora with known-heavier page-cost tails.
-    n_parts = config.ocr_partitions or 2 * spans.sparkSession.sparkContext.defaultParallelism
+    # 1 task per core (r6, measured): every mapInPandas task pays a
+    # fixed Python protocol cost (~7-14 ms on an identity kernel: 32
+    # tasks 0.46 s, 64 tasks 0.63 s, 128 tasks 1.09 s, 256 tasks
+    # 2.04 s on idle local[32]; mapInArrow measured the same, so it is
+    # the task protocol, not pandas conversion), while round-robin
+    # keeps per-task PAGE COUNTS exactly even — per-page cost variance
+    # (deskew, picture blocks) averages out over the ~100+ pages each
+    # task holds, so over-decomposition bought no straggler protection
+    # that the even row counts don't already give. Interleaved A/B at
+    # sf0.1: extract_full med 2.14 s at 1× vs 2.29 s at 2× vs 2.82 s
+    # at the old 4×. The multiplier scales with cluster parallelism;
+    # config.ocr_partitions overrides it for corpora with genuinely
+    # heavy-tailed per-page cost (where a task's pages no longer
+    # average out).
+    n_parts = config.ocr_partitions or spans.sparkSession.sparkContext.defaultParallelism
     resolved = resolved.repartition(n_parts)
     return resolved.mapInPandas(_make_ocr_fn(config), schema=OCR_RESULT_SCHEMA)
 

@@ -276,6 +276,93 @@ def ann_topk_bruteforce_sql(d: str, table: str = "embeddings") -> str:
     """.strip()
 
 
+def ann_topk_bruteforce(spark, sf_dir: str, table: str = "embeddings"):
+    """Spark side of ``emb_ann_topk_brute`` — same contract as
+    :func:`ann_topk_bruteforce_sql` (which stays the DuckDB oracle),
+    computed as ONE numpy kernel over the stride-capped vector set
+    (guide §4.2: hand whole batches to vectorized native code).
+
+    Why: the SQL form scores ~n²/QUERY_MOD pairs through a per-pair
+    ``aggregate(zip_with(...))`` dot (~8 µs/pair measured — the fastest
+    SQL form on this engine, see :func:`_dot`), ≈1.3 s of expression
+    evaluation at sf0.1; the numpy int64 matmul over the same capped
+    matrix is ~40 ms, so the query drops to the one-Python-task floor.
+    BRUTE_CAP bounds the kernel's memory (≤4096×64 int64 ≈ 2 MB) at
+    any SF — the same bound that makes the SQL self-join safe.
+
+    Exactness: quantized ints are identical (same SQL ``qv`` CTE);
+    dots are exact int64; ``cos_x10k`` uses the same IEEE-double
+    expression tree (10000.0·dot / (sqrt(n2a)·sqrt(n2b)), then floor)
+    — multiplication, division and sqrt are correctly rounded in both
+    engines and numpy, so the floored values are bit-equal; ranking
+    reproduces ``ORDER BY cos_x10k DESC, neighbor_id`` via lexsort."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tesseract_glue_spark.sources.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    spark.read.parquet(f"{sf_dir}/{table}.parquet").createOrReplaceTempView(table)
+    qv = spark.sql(
+        f"WITH {_gated_q_cte(D.SPARK, table)} SELECT vec_id, q FROM qv"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_x10k", T.LongType()),
+            T.StructField("rnk", T.LongType()),
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ids_parts, q_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_parts.append(pdf["vec_id"].to_numpy(dtype=np.int64))
+                q_parts.extend(np.asarray(v, dtype=np.int64) for v in pdf["q"])
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        Q = np.stack(q_parts)                       # (n, dim) int64, exact
+        n2 = (Q * Q).sum(axis=1)                    # exact int64
+        qmask = ids % QUERY_MOD == 0
+        qids = ids[qmask]
+        dots = Q[qmask] @ Q.T                       # exact int64 matmul
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = np.sqrt(n2[qmask].astype(np.float64))[:, None] * np.sqrt(
+                n2.astype(np.float64)
+            )[None, :]
+            cos = np.floor(10000.0 * dots / denom)
+        cos = np.where((n2[qmask][:, None] == 0) | (n2[None, :] == 0), 0.0, cos)
+        cos = cos.astype(np.int64)
+        out_q, out_n, out_c, out_r = [], [], [], []
+        for i, qid in enumerate(qids):
+            keep = ids != qid                       # b.vec_id <> a.vec_id
+            nbr, c = ids[keep], cos[i][keep]
+            order = np.lexsort((nbr, -c))[:TOPK]    # cos DESC, neighbor ASC
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_n.append(nbr[order])
+            out_c.append(c[order])
+            out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+        yield pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cos_x10k": np.concatenate(out_c),
+                "rnk": np.concatenate(out_r),
+            }
+        )
+
+    # BRUTE_CAP rows → one task holds everything; the kernel needs the
+    # full set to rank, so a single partition is the correct shape
+    return qv.coalesce(1).mapInPandas(kern, schema=schema)
+
+
 def ann_topk_lsh_sql(d: str, table: str = "embeddings") -> str:
     """Approximate top-k: exact re-rank restricted to same-LSH-bucket
     candidates. At 10^12 rows the bucket join replaces the all-pairs

@@ -1859,8 +1859,8 @@ def _fused_web_input(spans: DataFrame, pages: DataFrame, cfg) -> DataFrame:
         page_side = page_side.dropDuplicates(["media_ref"])
     resolved = refs.join(page_side, "media_ref", "left")
     par = spans.sparkSession.sparkContext.defaultParallelism
-    # 2 tasks/core, same fixed-task-cost trade as extract.ocr_media
-    n_parts = cfg.ocr_partitions or 2 * par
+    # 1 task/core, same fixed-task-cost trade as extract.ocr_media
+    n_parts = cfg.ocr_partitions or par
     media_in = resolved.repartition(n_parts).select(
         "media_ref",
         "image",
