@@ -131,7 +131,7 @@ def main() -> None:
             simhash_pairs_sql,
         )
         from tesseract_glue_spark.operators.registry import cached_shingles_runner, spark_runner
-        from tesseract_glue_spark.operators.similarity import ann_topk_ivf
+        from tesseract_glue_spark.operators.similarity import ann_topk_bruteforce, ann_topk_ivf
         from tesseract_glue_spark.operators.web import (
             html_main_content_spark,
             pdf_text_extract_spark,
@@ -142,7 +142,7 @@ def main() -> None:
             "dedup_minhash_lsh": (minhash_lsh_pairs_sql, ("documents",), True),
             "dedup_ngram_jaccard": (ngram_jaccard_pairs_sql, ("documents",), True),
             "dedup_simhash_pairs": (simhash_pairs_sql, ("documents",), True),
-            "ann_topk_brute": (ann_topk_bruteforce_sql, ("embeddings",), False),
+            "ann_topk_brute": (ann_topk_bruteforce, ("embeddings",), "kernel"),
             "ann_topk_lsh": (ann_topk_lsh_sql, ("embeddings",), False),
             "emb_neardup_lsh": (cosine_neardup_lsh_sql, ("embeddings",), False),
             "text_langid_quality": (
@@ -155,11 +155,12 @@ def main() -> None:
             "rel_events_hourly": (events_hourly_sql, ("events",), False),
         }
         for name, (builder, tables, cached) in specs.items():
-            runner = (
-                cached_shingles_runner(builder, tables=tables)
-                if cached
-                else spark_runner(builder, tables=tables)
-            )
+            if cached == "kernel":
+                runner = builder  # already (spark, sf_dir) -> DataFrame
+            elif cached:
+                runner = cached_shingles_runner(builder, tables=tables)
+            else:
+                runner = spark_runner(builder, tables=tables)
             run_one(name, lambda r=runner: r(spark, sf_dir))
         run_one("ann_topk_ivf", lambda: ann_topk_ivf(spark, sf_dir))
         run_one("html_main_content", lambda: html_main_content_spark(spark, sf_dir))

@@ -83,7 +83,14 @@ def _fan_out(df: DataFrame) -> DataFrame:
     from tesseract_glue_spark.sources.shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
-    n = 4 * df.sparkSession.sparkContext.defaultParallelism
+    # 1 task/core (conf-overridable), same fixed-task-cost measurement
+    # as operators.web._fan_out: these kernels are ~1 ms/page with
+    # round-robin-even row counts, so extra tasks only buy protocol cost
+    from tesseract_glue_spark.operators.web import FANOUT_PER_CORE_CONF
+
+    spark = df.sparkSession
+    mult = int(spark.conf.get(FANOUT_PER_CORE_CONF, "1"))
+    n = max(mult, 1) * spark.sparkContext.defaultParallelism
     return df.repartition(n)
 
 
