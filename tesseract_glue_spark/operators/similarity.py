@@ -535,49 +535,14 @@ def ivf_step_sql(d: str, qv: str, cent: str) -> str:
     N×K candidate set (round-1 judge finding: the window shuffled+sorted
     all N×K rows). Integer sums are shuffle-order-independent, so the
     result is bit-identical across engines and runs."""
-    if d == D.SPARK:
-        # r6: per-dimension sums as {EMB_DIM} aggregate COLUMNS in ONE
-        # GROUP BY cluster — no ×{EMB_DIM} dim explode, no second
-        # (cluster, dim) aggregation, no array re-assembly aggregation:
-        # 3 exchanges/step → 2 and two aggregation stages removed. The
-        # per-(cluster, dim) integer sums are identical numbers, just
-        # laid out as columns instead of rows; the truncated-mean DIV
-        # and the empty-cluster COALESCE are unchanged. The unrolled
-        # oracle text builds from :func:`_ivf_step_explode_sql` (the
-        # shared original template), so the frozen DuckDB rendering is
-        # untouched.
-        d2 = _d2_expr(d, "q", "cq")
-        sums = ",\n               ".join(
-            f"CAST(SUM(element_at(v.q, {i})) AS BIGINT) AS s{i}"
-            for i in range(1, EMB_DIM + 1)
-        )
-        arr_cols = ", ".join(f"(s{i} DIV cnt)" for i in range(1, EMB_DIM + 1))
-        return f"""
-    WITH a AS (
-        SELECT vec_id, MIN({d2} * {IVF_K} + cluster) AS mkey
-        FROM {qv}, {cent}
-        GROUP BY vec_id
-    ),
-    s AS (
-        SELECT CAST(a.mkey % {IVF_K} AS INT) AS cluster, COUNT(*) AS cnt,
-               {sums}
-        FROM a JOIN {qv} v ON v.vec_id = a.vec_id
-        GROUP BY CAST(a.mkey % {IVF_K} AS INT)
-    ),
-    u AS (
-        SELECT cluster, array({arr_cols}) AS cq FROM s
-    )
-    SELECT p.cluster, COALESCE(u.cq, p.cq) AS cq
-    FROM {cent} p LEFT JOIN u ON u.cluster = p.cluster
-    """.strip()
-    return _ivf_step_explode_sql(d, qv, cent)
-
-
-def _ivf_step_explode_sql(d: str, qv: str, cent: str) -> str:
-    """The original explode-by-dimension Lloyd-step template, valid in
-    BOTH dialects: the stepwise DuckDB rendering AND the unrolled
-    oracle splice (:func:`ann_topk_ivf_oracle_sql`) build from this, so
-    the frozen oracle text never depends on the Spark-only step shape."""
+    # r6 measured note: a restructured Spark step (per-dimension sums
+    # as 64 aggregate COLUMNS in one GROUP BY cluster — no ×64 explode,
+    # one less exchange) was tried and REVERTED: interleaved A/B at
+    # sf0.1 measured it 0.6 s/query SLOWER (med 3.05 → 3.75 s) — the
+    # wide 64-column partial-aggregation rows cost more than the
+    # explode+narrow-agg they replaced, and the step's wall is
+    # planning/materialization-bound, not exchange-bound. Both dialects
+    # keep this template (the unrolled oracle splices it verbatim).
     d2 = _d2_expr(d, "q", "cq")
     elem = _elem(d, "q", "dim")
     arr = _array_by_dim(d, "v", "dim")
@@ -672,7 +637,7 @@ def ann_topk_ivf_oracle_sql(d: str = D.DUCKDB, table: str = "embeddings") -> str
     chain = f"{_q_cte(d, table)},\n    c0 AS ({ivf_init_sql(d, 'qv')})"
     prev = "c0"
     for t in range(1, IVF_ITERS + 1):
-        step = _ivf_step_explode_sql(d, "qv", prev)
+        step = ivf_step_sql(d, "qv", prev)
         body = _inline(step)
         # suffix the step's local CTE names (a, s, u) to keep them unique
         for name in ("a", "s", "u"):
@@ -719,13 +684,13 @@ def ann_topk_ivf(spark, sf_dir: str, table: str = "embeddings"):
     # consumer's CTE (same failure mode as the shingle cache,
     # registry.get_cached_shingles) — each Lloyd step was re-reading
     # parquet and re-quantizing. A checkpointed leaf is read directly.
-    # Repartition BEFORE checkpointing: the parquet scan is one split
-    # at test scale, so the leaf inherited ONE partition and every
-    # step's N×K distance assignment ran single-threaded (measured
-    # ~0.6 s/step; ~0.25 s/step once spread across the cluster — the
-    # leaf's partitioning is what every downstream step runs at).
-    par = spark.sparkContext.defaultParallelism
-    qv = spark.sql(ivf_qv_sql(D.SPARK, table)).repartition(par).localCheckpoint(eager=True)
+    # (A repartition of qv before the checkpoint was also tried — the
+    # leaf is one partition at test scale — and measured FLAT to
+    # slightly negative in interleaved A/B: the steps are
+    # planning/materialization-bound, not compute-bound, so the extra
+    # exchange job buys nothing locally. Left at the scan's natural
+    # partitioning; at real scale the scan has real splits.)
+    qv = spark.sql(ivf_qv_sql(D.SPARK, table)).localCheckpoint(eager=True)
     qv.createOrReplaceTempView(qv_view)
 
     def materialize(df):
