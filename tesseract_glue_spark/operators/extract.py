@@ -234,12 +234,15 @@ def ocr_media(spans: DataFrame, pages: DataFrame, config: ExtractionConfig) -> D
     # the task protocol, not pandas conversion), while round-robin
     # keeps per-task PAGE COUNTS exactly even — per-page cost variance
     # (deskew, picture blocks) averages out over the ~100+ pages each
-    # task holds, so over-decomposition bought no straggler protection
-    # that the even row counts don't already give. Interleaved A/B at
-    # sf0.1: extract_full med 2.14 s at 1× vs 2.29 s at 2× vs 2.82 s
-    # at the old 4×. The multiplier scales with cluster parallelism;
+    # task holds. Interleaved A/B at sf0.1: extract_full med 2.14 s at
+    # 1× vs 2.29 s at 2× vs 2.82 s at the old 4×. The straggler
+    # question was also settled by measurement, not assumption: 4→16
+    # scaling_bench pairs at 1× vs 2× medianed 0.742 vs 0.715 — the
+    # multiplier is NOT what moves pair efficiency (window noise is;
+    # see BENCH.md §-2), so the bench-optimal 1× stands. The
+    # multiplier scales with cluster parallelism;
     # config.ocr_partitions overrides it for corpora with genuinely
-    # heavy-tailed per-page cost (where a task's pages no longer
+    # heavy-tailed per-page cost (where one task's pages no longer
     # average out).
     n_parts = config.ocr_partitions or spans.sparkSession.sparkContext.defaultParallelism
     resolved = resolved.repartition(n_parts)
